@@ -1,0 +1,61 @@
+import os
+import sys
+
+# Tests run on a virtual multi-device CPU mesh (the driver/benchmarks use the
+# real TPU); must be set before jax import.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+# The axon sitecustomize registers the TPU plugin and overrides
+# jax_platforms; force CPU explicitly so tests run on the virtual mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# Parity tests compare against the float64 numpy reference implementation.
+jax.config.update("jax_enable_x64", True)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+# The upstream reference (read-only mount) — used ONLY as a numerical oracle
+# in parity tests, never imported by the framework itself.
+REFERENCE_ROOT = "/root/reference"
+REFERENCE_IK = os.path.join(REFERENCE_ROOT, "src", "skeleton_fitting", "ik")
+
+import pytest
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_IK)
+
+
+@pytest.fixture(scope="session")
+def ref_ik():
+    """Import the reference ik library (pure numpy) as an oracle."""
+    if not has_reference():
+        pytest.skip("reference implementation not available")
+    if REFERENCE_IK not in sys.path:
+        sys.path.insert(0, REFERENCE_IK)
+
+    # numpy>=2 removed numpy.core.umath_tests; shim it for the oracle only.
+    import types
+    import numpy as _np
+
+    if "numpy.core.umath_tests" not in sys.modules:
+        shim = types.ModuleType("numpy.core.umath_tests")
+        shim.matrix_multiply = _np.matmul
+        sys.modules["numpy.core.umath_tests"] = shim
+
+    import Quaternions as RefQuaternions  # noqa
+    import Animation as RefAnimation  # noqa
+    import AnimationStructure as RefStructure  # noqa
+    import BVH as RefBVH  # noqa
+
+    class NS:
+        Quaternions = RefQuaternions.Quaternions
+        Animation = RefAnimation
+        Structure = RefStructure
+        BVH = RefBVH
+
+    return NS
