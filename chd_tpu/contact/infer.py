@@ -1,0 +1,163 @@
+"""Full-video foot-contact inference.
+
+The TPU-native replacement for the reference's ``test.py --full-video
+--save-contacts --real-data`` path (src/contact_learning/test.py:51-219 +
+data/real_video_dataset.py): one jit-compiled function goes from raw
+``(F, 25, 3)`` OpenPose keypoints to ``(F, 4)`` binary contacts — gap-fill →
+normalize → window featurization → BN-folded MLP → sigmoid threshold →
+sliding-window vote merge — entirely on device. Batches of videos run via
+``vmap`` (padding to the longest video like real_video_dataset.fix_data_len
+:165-191); multi-chip sharding is layered on in chd_tpu.parallel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..characters import defs
+from ..models import contact_mlp
+from ..ops import gapfill, voting, windows
+
+# Constants matching training of the reference model
+# (real_video_dataset.py:17-18)
+TRAIN_DIM = (1280, 720)
+TRAIN_NORMALIZATION = 200.4160302695367  # median hip→toe pixels in training
+
+
+def _infer_one(
+    op_data,
+    folded,
+    *,
+    window_size: int,
+    pred_size: int,
+    joint_subset: Tuple[int, ...],
+    use_confidence: bool,
+    conf_thresh: float,
+    normalization: float,
+    classify_thresh: float,
+):
+    """(F, 25, 3) raw keypoints → ((F, 4) contacts, (N, P, 4) window probs)."""
+    x = gapfill.preprocess_keypoints(op_data, conf_thresh, normalization)
+    feats = windows.featurize_video(
+        x, window_size, joint_subset, defs.OP_ROOT_JOINT, use_confidence
+    )
+    logits = contact_mlp.apply_folded(folded, feats, pred_size)
+    probs = jax.nn.sigmoid(logits)
+    preds = (probs > classify_thresh).astype(jnp.float32)
+    contacts = voting.merge_votes(preds, window_size)
+    return contacts, probs
+
+
+class ContactDetector:
+    """Holds converted model weights and compiled inference functions."""
+
+    def __init__(
+        self,
+        params,
+        state,
+        window_size: int = 9,
+        pred_size: int = 5,
+        joint_set: str = "lower",
+        use_confidence: bool = True,
+        conf_thresh: float = 0.2,
+        normalization: float = TRAIN_NORMALIZATION,
+        classify_thresh: float = 0.5,
+        dtype=jnp.float32,
+    ):
+        self.window_size = window_size
+        self.pred_size = pred_size
+        self.joint_subset = tuple(defs.OP_JOINT_SUBSETS[joint_set])
+        self.use_confidence = use_confidence
+        folded = contact_mlp.fold_batchnorm(params, state)
+        self.folded = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
+
+        kernel = functools.partial(
+            _infer_one,
+            window_size=window_size,
+            pred_size=pred_size,
+            joint_subset=self.joint_subset,
+            use_confidence=use_confidence,
+            conf_thresh=conf_thresh,
+            normalization=normalization,
+            classify_thresh=classify_thresh,
+        )
+        self._single = jax.jit(kernel)
+        self._batched = jax.jit(jax.vmap(kernel, in_axes=(0, None)))
+
+    def detect(self, op_data: np.ndarray, seq_len: Optional[int] = None) -> np.ndarray:
+        """Single video (F, 25, 3) → (seq_len, 4) int contacts."""
+        contacts, _ = self._single(jnp.asarray(op_data, jnp.float32), self.folded)
+        contacts = np.asarray(contacts)
+        return contacts[: seq_len if seq_len is not None else len(contacts)]
+
+    def detect_batch(
+        self, op_batch: np.ndarray, seq_lens: Optional[Sequence[int]] = None
+    ) -> list:
+        """(B, F, 25, 3) padded batch → list of (len_i, 4) contacts."""
+        contacts, _ = self._batched(jnp.asarray(op_batch, jnp.float32), self.folded)
+        contacts = np.asarray(contacts)
+        if seq_lens is None:
+            return list(contacts)
+        return [c[:l] for c, l in zip(contacts, seq_lens)]
+
+
+def pad_to_length(arrs: Sequence[np.ndarray], length: Optional[int] = None):
+    """Pad each (F_i, ...) array to the max length by repeating the last frame
+    (reference fix_data_len, real_video_dataset.py:165-191)."""
+    if length is None:
+        length = max(a.shape[0] for a in arrs)
+    out = []
+    for a in arrs:
+        if a.shape[0] >= length:
+            out.append(a[:length])
+        else:
+            pad = np.repeat(a[-1:], length - a.shape[0], axis=0)
+            out.append(np.concatenate([a, pad], axis=0))
+    return np.stack(out, axis=0), length
+
+
+def detect_contacts(
+    video_dirs: Sequence[str],
+    params,
+    state,
+    image_dims=(1920, 1080),
+    save: bool = True,
+    **detector_kw,
+) -> list:
+    """End-to-end contact detection over video directories.
+
+    Mirrors scripts/run_detect_contacts.py + test.py --full-video: reads each
+    dir's ``openpose_result``, rescales pixels to the training resolution
+    (real_video_dataset.py:148-155), batches all videos padded to the longest,
+    and writes ``foot_contacts.npy`` per video dir.
+    """
+    import os
+
+    from ..ingest import openpose
+
+    det = ContactDetector(params, state, **detector_kw)
+    scale_w = float(TRAIN_DIM[0]) / image_dims[0]
+    scale_h = float(TRAIN_DIM[1]) / image_dims[1]
+    if abs(scale_w - scale_h) > 1e-5:
+        raise ValueError("videos must match the training aspect ratio")
+
+    data, lens = [], []
+    for vd in video_dirs:
+        kp = openpose.load_keypoint_dir(os.path.join(vd, "openpose_result"))
+        if kp is None:
+            raise FileNotFoundError(f"no openpose_result under {vd}")
+        kp = kp.copy()
+        kp[..., :2] *= scale_w
+        data.append(kp)
+        lens.append(kp.shape[0])
+
+    batch, _ = pad_to_length(data)
+    results = det.detect_batch(batch, lens)
+    if save:
+        for vd, contacts in zip(video_dirs, results):
+            np.save(os.path.join(vd, "foot_contacts.npy"), contacts)
+    return results

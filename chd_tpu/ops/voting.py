@@ -1,0 +1,50 @@
+"""Sliding-window vote aggregation for full-video contact prediction.
+
+The reference accumulates per-window binary predictions into per-frame votes
+with a Python loop and edge-aware thresholds
+(src/contact_learning/test.py:91-122). Structurally this is a width-P box
+filter over the window axis; here it is a handful of static shifted adds
+(XLA fuses them into one pass) plus the same edge thresholds and edge
+padding, fully jit-able.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def vote_thresholds(num_votes: int, pred_size: int, dtype=jnp.float32):
+    """Per-frame vote thresholds (test.py:101-104): interior frames need
+    (P+1)/2 votes; frames near the edges were target frames of fewer windows
+    and need only (offset//2)+1."""
+    t = jnp.full((num_votes,), (pred_size + 1) / 2.0, dtype=dtype)
+    for e in range(pred_size - 1):
+        t = t.at[e].set(e // 2 + 1)
+        t = t.at[num_votes - 1 - e].set(e // 2 + 1)
+    return t
+
+
+def merge_votes(window_preds, window_size: int):
+    """Aggregate per-window predictions into full-video contact labels.
+
+    Args:
+      window_preds: (N, P, 4) binary (or 0/1 float) predictions, one row per
+        window, covering frames [w, w+P) in "vote space".
+      window_size:  W, the model's input window (for edge padding).
+
+    Returns:
+      (N + W - 1, 4) int32 per-frame contacts — identical to the reference's
+      vote_aggregation → threshold → copy-pad pipeline (test.py:91-122).
+    """
+    N, P, C = window_preds.shape
+    num_votes = N + P - 1
+    votes = jnp.zeros((num_votes, C), dtype=window_preds.dtype)
+    for p in range(P):  # P is small + static → unrolled shifted adds
+        votes = votes.at[p : p + N].add(window_preds[:, p])
+
+    thresh = vote_thresholds(num_votes, P, dtype=votes.dtype)
+    contact = (votes >= thresh[:, None]).astype(jnp.int32)
+
+    pad = (window_size - P) // 2
+    lead = jnp.repeat(contact[:1], pad, axis=0)
+    tail = jnp.repeat(contact[-1:], pad, axis=0)
+    return jnp.concatenate([lead, contact, tail], axis=0)

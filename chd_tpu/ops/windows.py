@@ -1,0 +1,67 @@
+"""Sliding-window featurization for contact detection.
+
+Replaces the reference's per-window __getitem__ slicing + root normalization
+(src/contact_learning/data/real_video_dataset.py:206-276 and
+openpose_dataset.py:277-363) with a single gather-based op that materializes
+every window of a video at once — the natural TPU layout (one batched matmul
+feeds the MLP with all windows).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+def num_windows(num_frames: int, window_size: int) -> int:
+    """Overlapping windows: every frame except the edges is a target frame
+    (real_video_dataset.py:133)."""
+    return num_frames - 2 * (window_size // 2)
+
+
+def extract_windows(x, window_size: int):
+    """All overlapping windows along the leading frame axis.
+
+    x: (F, ...) → (F - W + 1, W, ...). Gather-based; XLA turns this into a
+    cheap strided read.
+    """
+    F = x.shape[0]
+    n = F - window_size + 1
+    starts = jnp.arange(n)[:, None] + jnp.arange(window_size)[None, :]
+    return x[starts]
+
+
+def root_normalize_windows(win, root_joint: int):
+    """Per-window root normalization (openpose_dataset.py:329-337).
+
+    win: (N, W, J, C) with C >= 2 ([x, y, conf?]). Subtracts the TARGET
+    (middle) frame's root x/y from every joint in the window, then writes the
+    absolute root back into the target frame's root slot only.
+    """
+    W = win.shape[1]
+    mid = W // 2
+    tgt_root = win[:, mid, root_joint, :2]  # (N, 2)
+    xy = win[..., :2] - tgt_root[:, None, None, :]
+    xy = xy.at[:, mid, root_joint, :].set(tgt_root)
+    return jnp.concatenate([xy, win[..., 2:]], axis=-1)
+
+
+def featurize_video(
+    op_data,
+    window_size: int,
+    joint_subset: Sequence[int],
+    root_joint: int = 8,
+    use_confidence: bool = True,
+):
+    """(F, 25, 3) preprocessed keypoints → (N, W, |subset|, feat) MLP input.
+
+    Equivalent to running the reference RealVideoDataset __getitem__ for every
+    window index, batched. ``joint_subset`` indexes the full 25-joint array
+    (characters.defs.OP_JOINT_SUBSETS).
+    """
+    win = extract_windows(op_data, window_size)  # (N, W, 25, 3)
+    win = root_normalize_windows(win, root_joint)
+    win = win[:, :, jnp.asarray(list(joint_subset)), :]
+    if not use_confidence:
+        win = win[..., :2]
+    return win
