@@ -35,7 +35,7 @@ def confusion_counts(pred_bool, label_bool) -> Confusion:
 
 def metrics_from_confusion(c: Confusion):
     """accuracy, precision, recall, F1 (reference calculate_metrics:73-96)."""
-    tp, fp, fn, tn = (x.astype(jnp.float64) for x in c)
+    tp, fp, fn, tn = (jnp.asarray(x, jnp.float32) for x in c)
     total = tp + fp + fn + tn
     accuracy = (tp + tn) / jnp.maximum(total, 1)
     precision = tp / jnp.maximum(tp + fp, 1)
