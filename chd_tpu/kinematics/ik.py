@@ -195,7 +195,8 @@ def solve_ck_ik(
     euler angles for the secondary pull task. Returns a new Animation.
     """
     J = anim.num_joints
-    dtype = anim.rotations.dtype
+    # canonicalize so host float64 arrays don't trigger x64 warnings
+    dtype = jax.dtypes.canonicalize_dtype(np.result_type(anim.rotations))
     tidx = tuple(sorted(targets.keys()))
     tpos = jnp.stack([jnp.asarray(targets[t], dtype) for t in tidx], axis=1)
 
