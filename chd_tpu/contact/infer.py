@@ -39,13 +39,19 @@ def _infer_one(
     conf_thresh: float,
     normalization: float,
     classify_thresh: float,
+    use_pallas: bool = False,
 ):
     """(F, 25, 3) raw keypoints → ((F, 4) contacts, (N, P, 4) window probs)."""
     x = gapfill.preprocess_keypoints(op_data, conf_thresh, normalization)
     feats = windows.featurize_video(
         x, window_size, joint_subset, defs.OP_ROOT_JOINT, use_confidence
     )
-    logits = contact_mlp.apply_folded(folded, feats, pred_size)
+    if use_pallas:
+        from ..ops.pallas_mlp import fused_mlp
+
+        logits = fused_mlp(folded, feats, pred_size)
+    else:
+        logits = contact_mlp.apply_folded(folded, feats, pred_size)
     probs = jax.nn.sigmoid(logits)
     preds = (probs > classify_thresh).astype(jnp.float32)
     contacts = voting.merge_votes(preds, window_size)
@@ -67,6 +73,7 @@ class ContactDetector:
         normalization: float = TRAIN_NORMALIZATION,
         classify_thresh: float = 0.5,
         dtype=jnp.float32,
+        use_pallas: Optional[bool] = None,
     ):
         self.window_size = window_size
         self.pred_size = pred_size
@@ -74,6 +81,8 @@ class ContactDetector:
         self.use_confidence = use_confidence
         folded = contact_mlp.fold_batchnorm(params, state)
         self.folded = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
+        if use_pallas is None:  # the fused kernel needs real TPU hardware
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
 
         kernel = functools.partial(
             _infer_one,
@@ -84,6 +93,7 @@ class ContactDetector:
             conf_thresh=conf_thresh,
             normalization=normalization,
             classify_thresh=classify_thresh,
+            use_pallas=use_pallas,
         )
         self._single = jax.jit(kernel)
         self._batched = jax.jit(jax.vmap(kernel, in_axes=(0, None)))
