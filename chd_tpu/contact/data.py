@@ -53,6 +53,39 @@ def view_names(motion_dir: str) -> List[str]:
     )
 
 
+def motion_vid_paths(motion_dir: str) -> List[str]:
+    """Rendered view videos <motion>_<view>.mp4 (contact_data_utils:91-103)."""
+    name = os.path.basename(os.path.abspath(motion_dir))
+    return [
+        os.path.join(motion_dir, f"{name}_{v}.mp4") for v in view_names(motion_dir)
+    ]
+
+
+def cam_param_paths(motion_dir: str) -> List[str]:
+    """Per-view camera parameter files viewN_camera_params.npz
+    (contact_data_utils:116-126)."""
+    return [
+        os.path.join(motion_dir, f"{v}_camera_params.npz")
+        for v in view_names(motion_dir)
+    ]
+
+
+def load_cam_params(paths: Sequence[str]) -> List:
+    """Load {P, RT, K} npz dicts, None for missing (contact_data_utils:138-149)."""
+    return [np.load(p) if os.path.exists(p) else None for p in paths]
+
+
+def frame_paths(view_dir: str) -> List[str]:
+    """Rendered frame images of one view (contact_data_utils:223-232)."""
+    if not os.path.isdir(view_dir):
+        return []
+    return sorted(
+        os.path.join(view_dir, f)
+        for f in os.listdir(view_dir)
+        if not f.startswith(".") and f.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg")
+    )
+
+
 def reference_split(
     num_characters: int, num_motions: int, num_views: int, train_frac: float = 0.8
 ) -> Tuple[List[int], List[int], List[int]]:

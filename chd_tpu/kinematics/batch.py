@@ -1,0 +1,177 @@
+"""Batched multi-sequence kinematic optimization.
+
+vmap/pjit analogue of kinematics/trajectory.optimize_trajectory: the whole
+refinement — CK-IK initialization, stage-1 LM, Huber floor fit + contact
+pruning, stage-2 LM — runs in lockstep for a padded batch of sequences
+(replacing the reference's one-subprocess-per-video kinematic stage,
+scripts/run_phys_mocap.py:102-115). Sequences pad to a common frame count
+by replicating their last frame (all difference terms vanish on padding).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..characters import defs
+from ..core import quat
+from ..core.animation import Animation
+from . import floor as floor_lib
+from . import trajectory as traj_lib
+from .ik import IKConfig, _solve as ik_solve
+from .lm import LMConfig, frame_coloring_masks, lm_solve
+from .residuals import TrajectoryData, trajectory_residuals
+
+
+def _pad_frames(a: np.ndarray, F: int) -> np.ndarray:
+    if a.shape[0] >= F:
+        return a[:F]
+    reps = np.repeat(a[-1:], F - a.shape[0], axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+def optimize_trajectory_batch(
+    problems: Sequence[dict],
+    skeleton: Animation,
+    cam_focal=defs.MTC_FOCAL,
+    cam_pp=defs.MTC_PP,
+    ik_iterations: int = 200,
+    lm_cfg: LMConfig = LMConfig(max_iters=50, cg_iters=100),
+    mesh=None,
+    dtype=jnp.float32,
+) -> List[traj_lib.TrajectoryResult]:
+    """problems: per-sequence dicts with keys pose2d (F,28,2), conf2d (F,28),
+    pose3d (F,28,3), root_pos (F,3), smpl_angles (F,J,3),
+    vel_constraints (F,28). Returns per-sequence TrajectoryResults (trimmed
+    to true lengths)."""
+    parents = tuple(skeleton.parents)
+    J = skeleton.num_joints
+    s2d = np.asarray(defs.COMBINED_SKEL_TO_DATA)
+    B = len(problems)
+    lens = [p["pose2d"].shape[0] for p in problems]
+    F = max(lens)
+
+    # host-side per-sequence prep: bone fit + weights + padding
+    stacked = {k: [] for k in [
+        "pose3d", "root", "p2dn", "pw", "dw", "vc", "offsets", "rot0", "pos0"]}
+    for p in problems:
+        Fi = p["pose2d"].shape[0]
+        targets = p["pose3d"][:, s2d] + p["root_pos"][:, None, :]
+        offsets = traj_lib.update_skeleton(np.asarray(skeleton.offsets), parents, targets)
+        pw, dw = traj_lib.build_weights(p["conf2d"])
+        p2dn = (p["pose2d"] - np.asarray(cam_pp)[None, None]) / np.asarray(cam_focal)[None, None]
+        rot0 = traj_lib.init_rotations_from_smpl(p["smpl_angles"])
+        pos0 = np.broadcast_to(offsets[None], (Fi, J, 3)).copy()
+        pos0[:, 0] = p["root_pos"]
+        stacked["pose3d"].append(_pad_frames(p["pose3d"], F))
+        stacked["root"].append(_pad_frames(p["root_pos"], F))
+        stacked["p2dn"].append(_pad_frames(p2dn, F))
+        stacked["pw"].append(_pad_frames(pw, F))
+        stacked["dw"].append(_pad_frames(dw, F))
+        stacked["vc"].append(_pad_frames(p["vel_constraints"], F))
+        stacked["offsets"].append(offsets)
+        stacked["rot0"].append(_pad_frames(rot0, F))
+        stacked["pos0"].append(_pad_frames(pos0, F))
+    arrs = {k: jnp.asarray(np.stack(v), dtype) for k, v in stacked.items()}
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arrs = {k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in arrs.items()}
+
+    # batched IK init (same static target set for all sequences)
+    spine = set(int(s) for s in defs.COMBINED_SKEL_SPINE_JOINTS)
+    tidx = tuple(j for j in range(J) if j not in spine)
+    targets_b = (
+        arrs["pose3d"][:, :, jnp.asarray(s2d[list(tidx)])] + arrs["root"][:, :, None, :]
+    )  # (B, F, T, 3)
+
+    ik_cfg = IKConfig(iterations=ik_iterations, damping=7.0)
+    dummy = jnp.zeros((F, J, 3), dtype)
+    limits = (jnp.zeros((J * 3,), dtype), jnp.zeros((J * 3,), dtype))
+    ones = jnp.ones((J,), dtype)
+
+    def ik_one(rot0, pos0, tgt):
+        return ik_solve(
+            rot0, pos0, tgt, dummy, limits, ones, ones,
+            targets_idx=tidx, parents=parents, cfg=ik_cfg,
+            use_reference=False, use_limits=False,
+        )
+
+    rot_ik, pos_ik = jax.vmap(ik_one)(arrs["rot0"], arrs["pos0"], targets_b)
+
+    x0 = jnp.concatenate(
+        [pos_ik[:, :, 0], quat.to_euler(rot_ik, "xyz").reshape(B, F, -1)], axis=-1
+    ).reshape(B, -1)
+
+    smooth_w = jnp.asarray(defs.COMBINED_SMOOTH_WEIGHTS, dtype)
+    zero3 = jnp.zeros(3, dtype)
+
+    def make_data(i_vc, normal, point):
+        return TrajectoryData(
+            arrs["pose3d"], arrs["root"], arrs["p2dn"], arrs["pw"], arrs["dw"],
+            jnp.broadcast_to(smooth_w, (B, 28)), i_vc,
+            normal, point, arrs["offsets"],
+        )
+
+    def residual(x, data, w):
+        return trajectory_residuals(x, data, w, parents)
+
+    masks = frame_coloring_masks(F, 3 + J * 3, dtype=dtype)
+
+    def stage(x0_b, data_b, w):
+        return jax.vmap(
+            lambda x0, d: lm_solve(residual, x0, (d, w), lm_cfg, diag_masks=masks)[0]
+        )(x0_b, data_b)
+
+    data1 = make_data(
+        arrs["vc"], jnp.broadcast_to(zero3, (B, 3)), jnp.broadcast_to(zero3, (B, 3))
+    )
+    x1 = stage(x0, data1, traj_lib.STAGE1)
+
+    # batched floor fit + contact pruning
+    feet_cols = jnp.asarray(s2d[defs.COMBINED_SKEL_FEET_IDX])
+
+    def fit_one(x, offsets, vc):
+        from .residuals import data_order_positions
+
+        y, root = data_order_positions(x.reshape(F, -1), offsets, parents)
+        pts = (y + root[:, None, :])[:, feet_cols].reshape(-1, 3)
+        mask = vc[:, feet_cols].reshape(-1) == 1
+        fit = floor_lib.fit_floor(pts[:, jnp.asarray([0, 2])], pts[:, 1], mask, epsilon=1.5)
+        fit2 = floor_lib.fit_floor(pts[:, jnp.asarray([0, 2])], pts[:, 1], mask, epsilon=2.2)
+        pruned = floor_lib.prune_contacts(vc, feet_cols, fit2.outliers, mask)
+        return fit.normal, fit.point, pruned
+
+    normals, points, vc2 = jax.vmap(fit_one)(x1, arrs["offsets"], arrs["vc"])
+
+    data2 = make_data(vc2, normals, points)
+    x2 = stage(x1, data2, traj_lib.STAGE2)
+
+    # unpack per sequence
+    results = []
+    x2_np = np.asarray(x2)
+    for i, L in enumerate(lens):
+        xm = x2_np[i].reshape(F, -1)[:L]
+        offsets_i = np.asarray(arrs["offsets"][i])
+        rot = np.asarray(
+            quat.from_euler(jnp.asarray(xm[:, 3:].reshape(L, J, 3)), "xyz", world=True)
+        )
+        pos = np.broadcast_to(offsets_i[None], (L, J, 3)).copy()
+        pos[:, 0] = xm[:, :3]
+        anim = Animation(rot, pos, np.asarray(skeleton.orients), offsets_i, parents)
+        vc_i = np.asarray(vc2[i])[:L]
+        results.append(
+            traj_lib.TrajectoryResult(
+                anim=anim,
+                pose3d=None,
+                proj2d=None,
+                floor_normal=np.asarray(normals[i]),
+                floor_point=np.asarray(points[i]),
+                vel_constraints=vc_i,
+                refined_contacts=traj_lib.refine_contact_labels(vc_i),
+            )
+        )
+    return results

@@ -102,14 +102,17 @@ def join_vars(base_lin, base_ang, ee, force):
     return m.reshape(-1)
 
 
-def constraints(x, phys: PhysInput) -> Dict[str, jnp.ndarray]:
-    """All constraint values (equalities = 0, inequalities g ≤ 0)."""
+def constraints(x, phys: PhysInput, contact=None) -> Dict[str, jnp.ndarray]:
+    """All constraint values (equalities = 0, inequalities g ≤ 0).
+
+    ``contact`` overrides phys.contact (stage 3 passes the SOFT schedule so
+    everything becomes differentiable w.r.t. phase durations)."""
     F = phys.base_lin.shape[0]
     base_lin, base_ang, ee, force = split_vars(x, F)
     dt = phys.dt
     n = phys.floor_normal
     p0 = phys.floor_point
-    c = phys.contact  # (4, F)
+    c = phys.contact if contact is None else contact  # (4, F)
 
     out: Dict[str, jnp.ndarray] = {}
 
@@ -161,10 +164,11 @@ INEQ = {"leg": True, "heel": False, "terrain": False, "slip": False, "force": Tr
         "height": True, "dyn": False}
 
 
-def cost_residuals(x, phys: PhysInput, w: CostW):
+def cost_residuals(x, phys: PhysInput, w: CostW, contact=None):
     F = phys.base_lin.shape[0]
     base_lin, base_ang, ee, force = split_vars(x, F)
     dt = phys.dt
+    c = phys.contact if contact is None else contact
 
     parts = [
         np.sqrt(w.data_lin) * (base_lin - phys.base_lin),
@@ -175,8 +179,8 @@ def cost_residuals(x, phys: PhysInput, w: CostW):
         np.sqrt(w.sv_ee) * (ee[:, 1:] - ee[:, :-1]),
         # keep swing-phase force variables pinned (they're masked out of the
         # dynamics, so nothing else constrains them)
-        1e-2 * (1.0 - phys.contact[..., None]) * force,
-        1e-4 * phys.contact[..., None] * force,  # mild force regularization
+        1e-2 * (1.0 - c[..., None]) * force,
+        1e-4 * c[..., None] * force,  # mild force regularization
     ]
     if w.sa > 0:
         parts += [
@@ -251,11 +255,45 @@ def update_multipliers(x, phys, lams, rho: Rho):
     return new
 
 
+@functools.lru_cache(maxsize=None)
+def make_stage3_residual_fn(w: CostW, rho: Rho, w_dur: float, F: int, dof_d: int):
+    """Stage-3 residuals over the augmented vector [trajectory | durations].
+
+    The contact schedule becomes soft_contact(durations) so constraint
+    residuals carry gradients into the phase durations (the reference's
+    PhaseDurations variable sets + schedule Jacobians, phys_optim.cpp:
+    663-711 / nodes_variables_dynamic_phase_based.cpp)."""
+    from . import durations as dur_lib
+
+    n_traj = F * DOF
+
+    def residuals(x_aug, phys, lams, spec):
+        x = x_aug[:n_traj]
+        d = x_aug[n_traj:].reshape(spec.durations.shape)
+        c_soft = dur_lib.soft_contact(d, spec, F, phys.dt)
+        r = [cost_residuals(x, phys, w, contact=c_soft)]
+        cons = constraints(x, phys, contact=c_soft)
+        for name, cval in sorted(cons.items()):
+            rho_k = getattr(rho, name)
+            if rho_k == 0.0:
+                continue
+            shifted = cval + lams[name] / rho_k
+            if INEQ[name]:
+                shifted = jnp.maximum(shifted, 0.0)
+            r.append(np.sqrt(rho_k) * shifted.reshape(-1))
+        r.append(dur_lib.duration_residuals(d, spec, w_dur))
+        return jnp.concatenate(r)
+
+    return residuals
+
+
 @dataclasses.dataclass(frozen=True)
 class SolveConfig:
     al_iters_fit: int = 2
     al_iters_dyn: int = 3
     al_iters_height: int = 3
+    al_iters_durations: int = 2
+    optimize_durations: bool = True
     lm: LMConfig = LMConfig(max_iters=30, cg_iters=60, init_lambda=1e-2)
 
 
@@ -266,7 +304,9 @@ def solve_physics(
 ) -> Tuple[PhysResult, PhysResult, Dict[str, float]]:
     """Run the staged solve. Returns (no_dynamics result, dynamics result,
     final constraint-violation stats) — mirroring the reference's
-    sol_out_no_dynamics / sol_out_dynamics(+durations) artifacts."""
+    sol_out_no_dynamics / sol_out_dynamics artifacts. When
+    cfg.optimize_durations is on, use solve_physics_durations afterwards for
+    the stage-3 refinement."""
     F = int(phys.base_lin.shape[0])
     dyn_cost = CostW(
         weights.w_com_lin, weights.w_com_ang, weights.w_ee,
@@ -294,12 +334,97 @@ def solve_physics(
     x, lams = run_stage(x, lams, dyn_cost, DYN_H_RHO, cfg.al_iters_height)
     res_dyn = _to_result(x, phys)
 
-    cons = constraints(x, phys)
-    stats = {
+    stats = violation_stats(x, phys)
+    return res_fit, res_dyn, stats
+
+
+def violation_stats(x, phys, contact=None) -> Dict[str, float]:
+    cons = constraints(x, phys, contact=contact)
+    return {
         name: float(jnp.abs(v).max()) if not INEQ[name] else float(jnp.maximum(v, 0).max())
         for name, v in cons.items()
     }
-    return res_fit, res_dyn, stats
+
+
+def solve_physics_durations(
+    phys: PhysInput,
+    stage2: PhysResult,
+    weights: PhysWeights = PhysWeights(),
+    cfg: SolveConfig = SolveConfig(),
+) -> Tuple[PhysResult, Dict[str, float], bool]:
+    """Stage 3: refine contact-phase durations (phys_optim.cpp:663-711).
+
+    Warm-starts from the stage-2 solution. Returns (result with the
+    re-rasterized schedule, stats, durations_ok). On failure to improve, the
+    caller should keep the stage-2 result (the reference's stage-4 fallback
+    :713-749)."""
+    from . import durations as dur_lib
+
+    x = join_vars(stage2.base_lin, stage2.base_ang, stage2.ee_pos, stage2.ee_force)
+    lams = init_multipliers(phys)
+    F = int(phys.base_lin.shape[0])
+    spec = dur_lib.build_duration_spec(np.asarray(phys.contact), float(phys.dt))
+    P = spec.durations.shape[1]
+    dof_d = 4 * P
+
+    dyn_cost = CostW(
+        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
+        0.001, 0.001, weights.w_smooth, 0.0, 1e3,  # no accel smoothing w/
+        # duration optimization (reference: unsupported, vel_smooth_cost.cpp:72-79)
+    )
+    fn = make_stage3_residual_fn(dyn_cost, DYN_H_RHO, weights.w_dur, F, dof_d)
+
+    traj_masks = frame_coloring_masks(F, DOF, dtype=x.dtype)
+    n_traj = F * DOF
+    masks_aug = jnp.concatenate(
+        [
+            jnp.concatenate([traj_masks, jnp.zeros((traj_masks.shape[0], dof_d), x.dtype)], axis=1),
+            jnp.concatenate([jnp.zeros((dof_d, n_traj), x.dtype), jnp.eye(dof_d, dtype=x.dtype)], axis=1),
+        ],
+        axis=0,
+    )
+
+    x_aug = jnp.concatenate([x, spec.durations.reshape(-1)])
+    for _ in range(cfg.al_iters_durations):
+        x_aug, _ = lm_solve(fn, x_aug, (phys, lams, spec), cfg.lm, diag_masks=masks_aug)
+        d = x_aug[n_traj:].reshape(spec.durations.shape)
+        c_soft = dur_lib.soft_contact(d, spec, F, phys.dt)
+        cons = constraints(x_aug[:n_traj], phys, contact=c_soft)
+        lams = {
+            name: (
+                jnp.maximum(lams[name] + getattr(DYN_H_RHO, name) * v, 0.0)
+                if INEQ[name]
+                else lams[name] + getattr(DYN_H_RHO, name) * v
+            )
+            if getattr(DYN_H_RHO, name) != 0.0
+            else lams[name]
+            for name, v in cons.items()
+        }
+
+    x_new = x_aug[:n_traj]
+    d = x_aug[n_traj:].reshape(spec.durations.shape)
+    new_contact = dur_lib.rasterize(d, spec, F, phys.dt)
+    phys_new = phys._replace(contact=new_contact)
+
+    # STAGE 4: re-solve dynamics with the refined durations FROZEN
+    # (phys_optim.cpp:713-749) — the soft-mask optimum needs polishing under
+    # the re-rasterized hard schedule
+    masks = frame_coloring_masks(F, DOF, dtype=x.dtype)
+    lams4 = init_multipliers(phys_new)
+    fn4 = make_al_residual_fn(dyn_cost, DYN_H_RHO)
+    for _ in range(max(cfg.al_iters_height, 1)):
+        x_new, _ = lm_solve(fn4, x_new, (phys_new, lams4), cfg.lm, diag_masks=masks)
+        lams4 = update_multipliers(x_new, phys_new, lams4, DYN_H_RHO)
+
+    stats = violation_stats(x_new, phys_new)
+    # success criterion ≈ IPOPT status: constraint violations comparable to
+    # the stage-2 solve
+    old_stats = violation_stats(x, phys)
+    ok = stats["dyn"] <= max(2.0 * old_stats["dyn"], 1.0) and stats["terrain"] <= max(
+        2.0 * old_stats["terrain"], 0.02
+    )
+    res = _to_result(x_new, phys_new)
+    return res, stats, bool(ok)
 
 
 def _to_result(x, phys: PhysInput) -> PhysResult:

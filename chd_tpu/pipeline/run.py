@@ -165,6 +165,8 @@ def run_physics_stage(video_dir: str, cfg: PipelineConfig, video_name: Optional[
         al_iters_fit=cfg.physics.al_iters_fit,
         al_iters_dyn=cfg.physics.al_iters_dyn,
         al_iters_height=cfg.physics.al_iters_height,
+        al_iters_durations=cfg.physics.al_iters_durations,
+        optimize_durations=cfg.physics.optimize_durations,
         lm=LMConfig(max_iters=cfg.physics.lm_iters, cg_iters=cfg.physics.cg_iters,
                     init_lambda=1e-2),
     )
@@ -172,16 +174,27 @@ def run_physics_stage(video_dir: str, cfg: PipelineConfig, video_name: Optional[
 
     towr_io.save_solution(res_fit, os.path.join(out_dir, "sol_out_no_dynamics.txt"))
     towr_io.save_solution(res_dyn, os.path.join(out_dir, "sol_out_dynamics.txt"))
-    # duration optimization not yet rebuilt → the reference's stage-4
-    # fallback applies: durations frozen, so the "durations" artifact is the
-    # dynamics solution, flagged in success_log (phys_optim.cpp:713-761)
-    towr_io.save_solution(res_dyn, os.path.join(out_dir, "sol_out_durations.txt"))
     dynamics_ok = (
         stats["dyn"] < cfg.physics.dyn_tol
         and stats["terrain"] < cfg.physics.kin_tol
         and stats["height"] < cfg.physics.kin_tol
     )
-    towr_io.save_success_log(os.path.join(out_dir, "success_log.txt"), dynamics_ok, dynamics_ok)
+
+    # STAGE 3: contact-duration refinement; on failure keep the stage-2
+    # result with durations frozen (the reference's stage-4 fallback,
+    # phys_optim.cpp:713-749)
+    durations_ok = False
+    res_durations = res_dyn
+    if cfg.physics.optimize_durations:
+        from ..physics.collocation import solve_physics_durations
+
+        res3, stats3, durations_ok = solve_physics_durations(phys, res_dyn, pw, scfg)
+        if durations_ok:
+            res_durations = res3
+            stats = {**stats, **{f"dur_{k}": v for k, v in stats3.items()}}
+    durations_ok = durations_ok or dynamics_ok  # fallback result converged
+    towr_io.save_solution(res_durations, os.path.join(out_dir, "sol_out_durations.txt"))
+    towr_io.save_success_log(os.path.join(out_dir, "success_log.txt"), dynamics_ok, durations_ok)
 
     # BVH exports of each result (towr_utils.py --viz branch :953-975)
     for label in ["no_dynamics", "dynamics", "durations"]:

@@ -50,6 +50,8 @@ class PhysicsConfig:
     al_iters_fit: int = 2
     al_iters_dyn: int = 3
     al_iters_height: int = 3
+    al_iters_durations: int = 2
+    optimize_durations: bool = True
     lm_iters: int = 30
     cg_iters: int = 60
     # violation thresholds standing in for IPOPT's return status when

@@ -99,7 +99,10 @@ def cfg():
             skel_path=SKEL_BVH, ik_iterations=20, lm_iters=8, cg_iters=30
         ),
         physics=__import__("chd_tpu.utils.config", fromlist=["PhysicsConfig"]).PhysicsConfig(
-            al_iters_fit=1, al_iters_dyn=1, al_iters_height=1, lm_iters=6, cg_iters=20
+            al_iters_fit=1, al_iters_dyn=1, al_iters_height=1, lm_iters=6, cg_iters=20,
+            # stage 3 is covered by test_durations; its extra compile would
+            # dominate this CPU test's runtime
+            optimize_durations=False,
         ),
     )
 
