@@ -27,12 +27,13 @@ def skin(anim, rest_anim, vertex_weights, mesh, maxjoints: int = 4):
     top_w, top_idx = _topk(w, k)
     top_w = top_w / jnp.sum(top_w, axis=1, keepdims=True)
 
+    # rest frame 0 defines the bind pose (only that frame's FK is needed)
     gq_r, gp_r = fk(
-        jnp.asarray(rest_anim.rotations), jnp.asarray(rest_anim.positions), rest_anim.parents
+        jnp.asarray(rest_anim.rotations)[:1], jnp.asarray(rest_anim.positions)[:1],
+        rest_anim.parents,
     )
     gq_p, gp_p = fk(jnp.asarray(anim.rotations), jnp.asarray(anim.positions), anim.parents)
 
-    # rest frame 0 defines the bind pose
     bind_q = gq_r[0]  # (J, 4)
     bind_p = gp_r[0]
 

@@ -53,9 +53,11 @@ def optimize_trajectory_batch(
     lens = [p["pose2d"].shape[0] for p in problems]
     F = max(lens)
 
-    # host-side per-sequence prep: bone fit + weights + padding
+    # host-side per-sequence prep: bone fit + weights + padding. Padded
+    # frames carry zero weights/constraints AND a zero frame mask, so they
+    # contribute no residuals (and no floor-fit points) whatsoever.
     stacked = {k: [] for k in [
-        "pose3d", "root", "p2dn", "pw", "dw", "vc", "offsets", "rot0", "pos0"]}
+        "pose3d", "root", "p2dn", "pw", "dw", "vc", "offsets", "rot0", "pos0", "fmask"]}
     for p in problems:
         Fi = p["pose2d"].shape[0]
         targets = p["pose3d"][:, s2d] + p["root_pos"][:, None, :]
@@ -65,15 +67,17 @@ def optimize_trajectory_batch(
         rot0 = traj_lib.init_rotations_from_smpl(p["smpl_angles"])
         pos0 = np.broadcast_to(offsets[None], (Fi, J, 3)).copy()
         pos0[:, 0] = p["root_pos"]
+        zeros_after = np.concatenate([np.ones(Fi), np.zeros(F - Fi)])
         stacked["pose3d"].append(_pad_frames(p["pose3d"], F))
         stacked["root"].append(_pad_frames(p["root_pos"], F))
         stacked["p2dn"].append(_pad_frames(p2dn, F))
-        stacked["pw"].append(_pad_frames(pw, F))
-        stacked["dw"].append(_pad_frames(dw, F))
-        stacked["vc"].append(_pad_frames(p["vel_constraints"], F))
+        stacked["pw"].append(_pad_frames(pw, F) * zeros_after[:, None])
+        stacked["dw"].append(_pad_frames(dw, F) * zeros_after[:, None])
+        stacked["vc"].append(_pad_frames(p["vel_constraints"], F) * zeros_after[:, None])
         stacked["offsets"].append(offsets)
         stacked["rot0"].append(_pad_frames(rot0, F))
         stacked["pos0"].append(_pad_frames(pos0, F))
+        stacked["fmask"].append(zeros_after)
     arrs = {k: jnp.asarray(np.stack(v), dtype) for k, v in stacked.items()}
 
     if mesh is not None:
@@ -113,7 +117,7 @@ def optimize_trajectory_batch(
         return TrajectoryData(
             arrs["pose3d"], arrs["root"], arrs["p2dn"], arrs["pw"], arrs["dw"],
             jnp.broadcast_to(smooth_w, (B, 28)), i_vc,
-            normal, point, arrs["offsets"],
+            normal, point, arrs["offsets"], arrs["fmask"],
         )
 
     def residual(x, data, w):
@@ -151,8 +155,12 @@ def optimize_trajectory_batch(
     x2 = stage(x1, data2, traj_lib.STAGE2)
 
     # unpack per sequence
+    from .residuals import data_order_positions
+
     results = []
     x2_np = np.asarray(x2)
+    fx, fy = cam_focal
+    cx, cy = cam_pp
     for i, L in enumerate(lens):
         xm = x2_np[i].reshape(F, -1)[:L]
         offsets_i = np.asarray(arrs["offsets"][i])
@@ -163,11 +171,24 @@ def optimize_trajectory_batch(
         pos[:, 0] = xm[:, :3]
         anim = Animation(rot, pos, np.asarray(skeleton.orients), offsets_i, parents)
         vc_i = np.asarray(vc2[i])[:L]
+
+        y_i, root_i = data_order_positions(
+            jnp.asarray(xm, dtype), jnp.asarray(offsets_i, dtype), parents
+        )
+        pose3d_i = np.array(y_i + root_i[:, None, :])
+        pose3d_i[:, defs.COMBINED_ROOT_IDX] = np.asarray(root_i)
+        proj2d_i = np.stack(
+            [
+                fx * pose3d_i[..., 0] / pose3d_i[..., 2] + cx,
+                fy * pose3d_i[..., 1] / pose3d_i[..., 2] + cy,
+            ],
+            axis=-1,
+        )
         results.append(
             traj_lib.TrajectoryResult(
                 anim=anim,
-                pose3d=None,
-                proj2d=None,
+                pose3d=pose3d_i,
+                proj2d=proj2d_i,
                 floor_normal=np.asarray(normals[i]),
                 floor_point=np.asarray(points[i]),
                 vel_constraints=vc_i,

@@ -47,6 +47,9 @@ class TrajectoryData(NamedTuple):
     floor_normal: jnp.ndarray    # (3,)
     floor_point: jnp.ndarray     # (3,)
     offsets: jnp.ndarray         # (J, 3) fitted skeleton offsets (skeleton order)
+    frame_mask: jnp.ndarray = None  # (F,) 1 = real frame; None = all real
+    # (batched ragged sequences pad to a common F; masked frames contribute
+    # no residuals at all, so padding cannot perturb the real solution)
 
 
 class TermWeights(NamedTuple):
@@ -86,6 +89,12 @@ def trajectory_residuals(
     Jd = data.pose3d.shape[1]  # 28, data order
     root_idx = defs.COMBINED_ROOT_IDX
     x = x.reshape(F, -1)
+    fm = (
+        jnp.ones((F,), x.dtype) if data.frame_mask is None
+        else data.frame_mask.astype(x.dtype)
+    )
+    pair = fm[:-1] * fm[1:]          # both frames real
+    triple = pair[:-1] * fm[2:]      # three consecutive real frames
 
     y, root = data_order_positions(x, data.offsets, parents)
 
@@ -101,32 +110,32 @@ def trajectory_residuals(
     proj = num[..., :2] / z
     r_proj = jnp.where(
         active, w.proj * data.proj_weights[..., None] * (proj - data.pose2d_norm), 0.0
-    )
+    ) * fm[:, None, None]
 
     # --- velocity smoothness ((F-1), 28, 3) ------------------------------------
     sw = data.smooth_weights[None, :, None] * SMOOTH_VEL_XYZ[None, None, :]
-    r_sv = w.smooth_vel * sw * (y[:-1] - y[1:])
+    r_sv = w.smooth_vel * sw * (y[:-1] - y[1:]) * pair[:, None, None]
 
     # --- acceleration smoothness ((F-2), 28, 3) ---------------------------------
     vel = y[1:] - y[:-1]
-    r_sa = w.smooth_acc * (vel[1:] - vel[:-1])
+    r_sa = w.smooth_acc * (vel[1:] - vel[:-1]) * triple[:, None, None]
 
     # --- data term (F, 28, 3) ---------------------------------------------------
     target = data.pose3d.at[:, root_idx].set(data.root_trans)
-    r_data = w.data * data.data_weights[..., None] * (y - target)
+    r_data = w.data * data.data_weights[..., None] * (y - target) * fm[:, None, None]
 
     # --- contact zero-velocity ((F-1), 28, 3) -----------------------------------
     world = y + root_b  # note: root entry becomes 2·root, but contacts never on root
     mask_v = (data.vel_constraints[:-1] == 1)[..., None]
-    r_vel = jnp.where(mask_v, w.vel * (world[:-1] - world[1:]), 0.0)
+    r_vel = jnp.where(mask_v, w.vel * (world[:-1] - world[1:]), 0.0) * pair[:, None, None]
 
     # --- floor distance (F, 28) --------------------------------------------------
     d = jnp.einsum("fjc,c->fj", world - data.floor_point, data.floor_normal)
-    r_floor = jnp.where(data.vel_constraints == 1, w.floor * d, 0.0)
+    r_floor = jnp.where(data.vel_constraints == 1, w.floor * d, 0.0) * fm[:, None]
 
     # --- euler-velocity smoothness ((F-1), 29, 3) — includes root translation ----
     xr = x.reshape(F, -1, 3)
-    r_es = w.smooth_vel * SMOOTH_VEL_EULER * (xr[:-1] - xr[1:])
+    r_es = w.smooth_vel * SMOOTH_VEL_EULER * (xr[:-1] - xr[1:]) * pair[:, None, None]
 
     return jnp.concatenate(
         [

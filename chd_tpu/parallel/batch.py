@@ -86,9 +86,7 @@ def solve_physics_batch(
     def solve_one_stage(x, phys, lams, w, rho):
         fn = collocation.make_al_residual_fn(w, rho)
         x, _ = lm_solve(fn, x, (phys, lams), cfg.lm, diag_masks=masks)
-        lams = jax.jit(collocation.update_multipliers, static_argnames="rho")(
-            x, phys, lams, rho
-        )
+        lams = collocation.update_multipliers(x, phys, lams, rho)
         return x, lams
 
     vstage = jax.vmap(solve_one_stage, in_axes=(0, 0, 0, None, None))

@@ -17,12 +17,13 @@ phys_optim.cpp:375-762 + the TOWR phase-based spline NLP). Design mapping:
   FIT    (1.1/1.2, :554-603): data+smooth costs, kinematic constraints;
   DYNAMICS (2.1, :606-643): + Newton–Euler + friction-cone constraints,
            pipeline cost weights (w_com_lin 0.4, w_com_ang 1.7, w_ee 0.3);
-  HEIGHT  (2.2, :646-661): + above-floor clearance.
-  Contact-duration optimization (stage 3, :663-711) is not yet rebuilt; the
-  schedule stays at its initialization, which is exactly the reference's
-  stage-4 fallback behavior (:713-749) — durations frozen, dynamics
-  re-solved. (Planned: continuous time-warp refinement of the phase
-  template.)
+  HEIGHT  (2.2, :646-661): + above-floor clearance;
+  DURATIONS (3, :663-711): see solve_physics_durations — the binary contact
+           schedule becomes a smooth function of phase-duration variables
+           (physics/durations.py), which join the LM variable vector; after
+           re-rasterization a frozen-duration re-solve polishes the
+           trajectory (the reference's stage 4, :713-749), and failure falls
+           back to the stage-2 result just like the reference.
 - swing-phase forces are eliminated rather than constrained: effective force
   = contact_mask · f (the TOWR EEForce parameterization pins them to zero,
   nodes_variables_dynamic_phase_based.cpp:121-151); stance no-slip and
@@ -241,8 +242,8 @@ def init_multipliers(phys: PhysInput) -> Dict[str, jnp.ndarray]:
 
 
 @partial(jax.jit, static_argnames=("rho",))
-def update_multipliers(x, phys, lams, rho: Rho):
-    cons = constraints(x, phys)
+def update_multipliers(x, phys, lams, rho: Rho, contact=None):
+    cons = constraints(x, phys, contact=contact)
     new = {}
     for name, cval in cons.items():
         rho_k = getattr(rho, name)
@@ -256,7 +257,7 @@ def update_multipliers(x, phys, lams, rho: Rho):
 
 
 @functools.lru_cache(maxsize=None)
-def make_stage3_residual_fn(w: CostW, rho: Rho, w_dur: float, F: int, dof_d: int):
+def make_stage3_residual_fn(w: CostW, rho: Rho, w_dur: float, F: int):
     """Stage-3 residuals over the augmented vector [trajectory | durations].
 
     The contact schedule becomes soft_contact(durations) so constraint
@@ -372,7 +373,7 @@ def solve_physics_durations(
         0.001, 0.001, weights.w_smooth, 0.0, 1e3,  # no accel smoothing w/
         # duration optimization (reference: unsupported, vel_smooth_cost.cpp:72-79)
     )
-    fn = make_stage3_residual_fn(dyn_cost, DYN_H_RHO, weights.w_dur, F, dof_d)
+    fn = make_stage3_residual_fn(dyn_cost, DYN_H_RHO, weights.w_dur, F)
 
     traj_masks = frame_coloring_masks(F, DOF, dtype=x.dtype)
     n_traj = F * DOF
@@ -389,17 +390,7 @@ def solve_physics_durations(
         x_aug, _ = lm_solve(fn, x_aug, (phys, lams, spec), cfg.lm, diag_masks=masks_aug)
         d = x_aug[n_traj:].reshape(spec.durations.shape)
         c_soft = dur_lib.soft_contact(d, spec, F, phys.dt)
-        cons = constraints(x_aug[:n_traj], phys, contact=c_soft)
-        lams = {
-            name: (
-                jnp.maximum(lams[name] + getattr(DYN_H_RHO, name) * v, 0.0)
-                if INEQ[name]
-                else lams[name] + getattr(DYN_H_RHO, name) * v
-            )
-            if getattr(DYN_H_RHO, name) != 0.0
-            else lams[name]
-            for name, v in cons.items()
-        }
+        lams = update_multipliers(x_aug[:n_traj], phys, lams, DYN_H_RHO, contact=c_soft)
 
     x_new = x_aug[:n_traj]
     d = x_aug[n_traj:].reshape(spec.durations.shape)
@@ -409,11 +400,10 @@ def solve_physics_durations(
     # STAGE 4: re-solve dynamics with the refined durations FROZEN
     # (phys_optim.cpp:713-749) — the soft-mask optimum needs polishing under
     # the re-rasterized hard schedule
-    masks = frame_coloring_masks(F, DOF, dtype=x.dtype)
     lams4 = init_multipliers(phys_new)
     fn4 = make_al_residual_fn(dyn_cost, DYN_H_RHO)
     for _ in range(max(cfg.al_iters_height, 1)):
-        x_new, _ = lm_solve(fn4, x_new, (phys_new, lams4), cfg.lm, diag_masks=masks)
+        x_new, _ = lm_solve(fn4, x_new, (phys_new, lams4), cfg.lm, diag_masks=traj_masks)
         lams4 = update_multipliers(x_new, phys_new, lams4, DYN_H_RHO)
 
     stats = violation_stats(x_new, phys_new)

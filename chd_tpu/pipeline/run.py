@@ -35,6 +35,9 @@ from ..physics.collocation import SolveConfig
 from ..physics.types import PhysWeights
 from ..retarget import retarget
 from ..utils.config import PipelineConfig
+from ..utils.log import get_logger, stage_timer
+
+log = get_logger("pipeline")
 
 DEFAULT_SKEL = "src/skeleton_fitting/combined_body_25.bvh"  # reference layout
 
@@ -213,6 +216,9 @@ def run_physics_stage(video_dir: str, cfg: PipelineConfig, video_name: Optional[
 
 def run_pipeline(video_dir: str, cfg: PipelineConfig, char_skel_bvh: Optional[str] = None) -> dict:
     """Full per-video pipeline (run_phys_mocap.py main loop)."""
-    run_kinematic_stage(video_dir, cfg)
-    run_retarget_stage(video_dir, cfg, char_skel_bvh)
-    return run_physics_stage(video_dir, cfg)
+    with stage_timer(f"kinematic [{video_dir}]", log):
+        run_kinematic_stage(video_dir, cfg)
+    with stage_timer(f"retarget → {cfg.character}", log):
+        run_retarget_stage(video_dir, cfg, char_skel_bvh)
+    with stage_timer("physics", log):
+        return run_physics_stage(video_dir, cfg)

@@ -33,6 +33,15 @@ def confusion_counts(pred_bool, label_bool) -> Confusion:
     )
 
 
+def format_metrics(m: dict) -> str:
+    """One-line metric summary (reference print_metrics equivalent,
+    src/contact_learning/utils.py:98-108)."""
+    return (
+        f"accuracy {float(m['accuracy']):.4f}  precision {float(m['precision']):.4f}  "
+        f"recall {float(m['recall']):.4f}  F1 {float(m['f1']):.4f}"
+    )
+
+
 def metrics_from_confusion(c: Confusion):
     """accuracy, precision, recall, F1 (reference calculate_metrics:73-96)."""
     tp, fp, fn, tn = (jnp.asarray(x, jnp.float32) for x in c)

@@ -19,7 +19,10 @@ jax.config.update("jax_enable_x64", True)
 # take minutes to compile on CPU; cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_chd")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+try:  # not present on older jax releases
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except AttributeError:
+    pass
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
