@@ -112,10 +112,16 @@ def ref_towr(ref_ik):
     return mod
 
 
-def make_motion(tmp_path):
-    """Posed ybot motion + floor + contacts on disk (shared input format)."""
+_SKELS = {
+    "ybot": "/root/reference/src/skeleton_fitting/ybot.bvh",
+    "combined": "/root/reference/src/skeleton_fitting/combined_body_25.bvh",
+}
+
+
+def make_motion(tmp_path, character="ybot"):
+    """Posed motion + floor + contacts on disk (shared input format)."""
     rng = np.random.default_rng(6)
-    anim, names, ft = bvh.load("/root/reference/src/skeleton_fitting/ybot.bvh")
+    anim, names, ft = bvh.load(_SKELS[character])
     J, F = anim.num_joints, 12
     es = rng.uniform(-0.15, 0.15, size=(F, J, 3))
     rot = np.asarray(quat.from_euler(jnp.asarray(es), "xyz", world=True))
@@ -151,28 +157,30 @@ def read_ref_files(out_dir, F):
     }
 
 
-def test_prepare_input_matches_reference(tmp_path, ref_towr):
-    bvh_path, floor_path, contacts_path, F = make_motion(tmp_path)
+@pytest.mark.parametrize(
+    "character,combined_contacts",
+    [("ybot", False), ("combined", False), ("ybot", True)],
+)
+def test_prepare_input_matches_reference(tmp_path, ref_towr, character, combined_contacts):
+    bvh_path, floor_path, contacts_path, F = make_motion(tmp_path, character)
 
     ref_out = str(tmp_path / "ref_out")
     os.makedirs(ref_out)
     ref_towr.prepare_input(
-        bvh_path, floor_path, contacts_path, ref_out, "ybot",
-        start_idx=0, end_idx=F, dt=1.0 / 30.0,
+        bvh_path, floor_path, contacts_path, ref_out, character,
+        start_idx=0, end_idx=F, dt=1.0 / 30.0, combined_contacts=combined_contacts,
     )
 
     from chd_tpu.physics import prepare_input
 
     anim, names, _ = bvh.load(bvh_path)
-    with open(floor_path) as f:
-        normal = np.array([float(x) for x in f.readline().split()])
-        point = np.array([float(x) for x in f.readline().split()]) * 100.0 * 0.01
-    # reference reads point in cm then ×0.01 inside; ours takes cm directly
     point = np.array([1.0, 95.0, 2.0])
+    normal = np.array([0.01, -0.99, 0.02])
     ours_out = str(tmp_path / "ours_out")
     prepare_input(
-        anim, normal, point, np.load(contacts_path), "ybot",
+        anim, normal, point, np.load(contacts_path), character,
         start_idx=0, end_idx=F, dt=1.0 / 30.0, out_dir=ours_out,
+        combined_contacts=combined_contacts,
     )
 
     ref = read_ref_files(ref_out, F)
