@@ -32,7 +32,7 @@ from ..ops import gapfill, windows
 def character_paths(root: str) -> List[str]:
     return sorted(
         os.path.join(root, f)
-        for f in sorted(os.listdir(root))
+        for f in os.listdir(root)
         if os.path.isdir(os.path.join(root, f)) and not f.startswith(".")
     )
 
@@ -40,7 +40,7 @@ def character_paths(root: str) -> List[str]:
 def motion_paths(character_dir: str) -> List[str]:
     return sorted(
         os.path.join(character_dir, f)
-        for f in sorted(os.listdir(character_dir))
+        for f in os.listdir(character_dir)
         if os.path.isdir(os.path.join(character_dir, f)) and not f.startswith(".")
     )
 
@@ -132,7 +132,6 @@ class ContactDataset:
         root: str,
         conf_thresh: float = 0.2,
         train_frac: float = 0.8,
-        dimensions: Tuple[int, int] = (1280, 720),
     ) -> "ContactDataset":
         chars = character_paths(root)
         if not chars:
@@ -153,6 +152,14 @@ class ContactDataset:
                     labels.append(contact)
                     names.append(f"{os.path.basename(cdir)}/{os.path.basename(mdir)}/{v}")
 
+        expected = len(chars) * motions_per_char * (num_views or 0)
+        if len(seqs) != expected:
+            raise ValueError(
+                f"ragged dataset: found {len(seqs)} sequences but "
+                f"{len(chars)} characters × {motions_per_char} motions × "
+                f"{num_views} views = {expected}; the reference split "
+                "(openpose_dataset.py:217-238) requires a regular grid"
+            )
         op = np.stack(seqs).astype(np.float32)          # (N, F, 25, 3)
         contacts = np.stack(labels).astype(np.float32)  # (N, F, 4)
 
@@ -239,7 +246,7 @@ def eval_windows(
     """
     B, F = op_data.shape[0], op_data.shape[1]
     if overlap:
-        starts = jnp.arange(F - 2 * (window_size // 2))
+        starts = jnp.arange(windows.num_windows(F, window_size))
     else:
         starts = jnp.arange(F // window_size) * window_size
     offs = jnp.arange(window_size)

@@ -112,6 +112,8 @@ class ContactDetector:
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
     ):
+        if window_size % 2 == 0:  # must be odd (real_video_dataset.py:47-50)
+            window_size += 1
         self.window_size = window_size
         self.pred_size = pred_size
         self.joint_subset = tuple(defs.OP_JOINT_SUBSETS[joint_set])

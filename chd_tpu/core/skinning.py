@@ -25,7 +25,11 @@ def skin(anim, rest_anim, vertex_weights, mesh, maxjoints: int = 4):
     V, J = w.shape
     k = min(maxjoints, J)
     top_w, top_idx = _topk(w, k)
-    top_w = top_w / jnp.sum(top_w, axis=1, keepdims=True)
+    # guard all-zero weight rows (unskinned prop vertices): leave them bound
+    # rigidly to joint 0 rather than emitting NaNs
+    wsum = jnp.sum(top_w, axis=1, keepdims=True)
+    top_w = jnp.where(wsum > 0, top_w / jnp.maximum(wsum, 1e-12), 0.0)
+    top_w = top_w.at[:, 0].set(jnp.where(wsum[:, 0] > 0, top_w[:, 0], 1.0))
 
     # rest frame 0 defines the bind pose (only that frame's FK is needed)
     gq_r, gp_r = fk(

@@ -46,6 +46,42 @@ class IKConfig:
     gamma: float = 1.0
 
 
+# Frame-chunk size for the per-frame linear solves. XLA's batched
+# triangular-solve inverts diagonal blocks in scoped VMEM; thousands of
+# (ndof × ndof) factorizations at once (batched sequences × frames) blow the
+# 16 MB limit on v5e. Chunking via lax.map keeps the working set bounded
+# while staying exact (LU per frame, like the reference's per-frame
+# lu_solve loop at InverseKinematics.py:511-512).
+SOLVE_CHUNK = 16
+
+
+def _chunked_solve(A, b):
+    """Batched linear solve over the leading axis in fixed-size chunks.
+
+    A: (N, n, n); b: (N, n) or (N, n, k). Exact (LU); sequential over
+    ceil(N / SOLVE_CHUNK) steps to bound VMEM under vmap.
+    """
+    N = A.shape[0]
+    vec = b.ndim == 2
+    if vec:
+        b = b[..., None]
+    if N <= SOLVE_CHUNK:
+        out = jnp.linalg.solve(A, b)
+        return out[..., 0] if vec else out
+
+    pad = (-N) % SOLVE_CHUNK
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), (pad,) + A.shape[1:])
+        A = jnp.concatenate([A, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad,) + b.shape[1:], b.dtype)], axis=0)
+    k = A.shape[0] // SOLVE_CHUNK
+    Ac = A.reshape((k, SOLVE_CHUNK) + A.shape[1:])
+    bc = b.reshape((k, SOLVE_CHUNK) + b.shape[1:])
+    out = jax.lax.map(lambda ab: jnp.linalg.solve(ab[0], ab[1]), (Ac, bc))
+    out = out.reshape((k * SOLVE_CHUNK,) + out.shape[2:])[:N]
+    return out[..., 0] if vec else out
+
+
 def _axis_columns(x_euler, parent_rot):
     """World-space rotation axes per (joint, euler axis).
 
@@ -151,19 +187,25 @@ def _solve(
         e = cfg.gamma * (endeff - gp[:, tcols].reshape(F, T * 3))
         JtJ = jnp.einsum("fij,fik->fjk", Jm, Jm)
         A = JtJ + D
-        dx1 = jnp.linalg.solve(A, jnp.einsum("fij,fi->fj", Jm, e)[..., None])[..., 0]
+        dx1 = _chunked_solve(A, jnp.einsum("fij,fi->fj", Jm, e))
 
         xp = jnp.concatenate([x[:1], x[:-1]], axis=0)
         xa = jnp.concatenate([x[1:], x[-1:]], axis=0)
         dx2 = cfg.smoothness * (xp + xa - 2.0 * x)
 
         if use_reference:
-            ns = jnp.eye(ndof, dtype=dtype)[None] - jnp.linalg.solve(A, JtJ)
+            # ns[:3J,:3J] @ diff == ((I − A⁻¹JᵀJ) @ [diff; 0])[:3J] — a vector
+            # solve instead of materializing the (ndof × ndof) nullspace
             diff = reference_euler.reshape(F, J * 3) - x[:, : J * 3]
-            dx3r = jnp.einsum("fij,fj->fi", ns[:, : J * 3, : J * 3], diff)
-            dx3 = jnp.concatenate(
-                [dx3r, jnp.zeros((F, ndof - J * 3), dtype)], axis=-1
-            ) if cfg.translate else dx3r
+            v = (
+                jnp.concatenate([diff, jnp.zeros((F, ndof - J * 3), dtype)], axis=-1)
+                if cfg.translate
+                else diff
+            )
+            jv = jnp.einsum("fjk,fk->fj", JtJ, v)
+            dx3 = v - _chunked_solve(A, jv)
+            if cfg.translate:
+                dx3 = dx3.at[:, J * 3 :].set(0.0)
         else:
             dx3 = jnp.zeros_like(x)
 

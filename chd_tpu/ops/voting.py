@@ -36,6 +36,12 @@ def merge_votes(window_preds, window_size: int):
       vote_aggregation → threshold → copy-pad pipeline (test.py:91-122).
     """
     N, P, C = window_preds.shape
+    if (window_size - P) % 2 != 0:
+        raise ValueError(
+            f"window_size ({window_size}) and pred_size ({P}) must have equal "
+            "parity (the reference coerces window_size odd); otherwise the "
+            "output frame count would silently be off by one"
+        )
     num_votes = N + P - 1
     votes = jnp.zeros((num_votes, C), dtype=window_preds.dtype)
     for p in range(P):  # P is small + static → unrolled shifted adds
