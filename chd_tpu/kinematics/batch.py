@@ -41,6 +41,7 @@ def optimize_trajectory_batch(
     lm_cfg: LMConfig = LMConfig(max_iters=50, cg_iters=100),
     mesh=None,
     dtype=jnp.float32,
+    ik_solver: str = "lu",  # "cg" avoids serialized LU chunks on TPU
 ) -> List[traj_lib.TrajectoryResult]:
     """problems: per-sequence dicts with keys pose2d (F,28,2), conf2d (F,28),
     pose3d (F,28,3), root_pos (F,3), smpl_angles (F,J,3),
@@ -92,7 +93,7 @@ def optimize_trajectory_batch(
         arrs["pose3d"][:, :, jnp.asarray(s2d[list(tidx)])] + arrs["root"][:, :, None, :]
     )  # (B, F, T, 3)
 
-    ik_cfg = IKConfig(iterations=ik_iterations, damping=7.0)
+    ik_cfg = IKConfig(iterations=ik_iterations, damping=7.0, solver=ik_solver)
     dummy = jnp.zeros((F, J, 3), dtype)
     limits = (jnp.zeros((J * 3,), dtype), jnp.zeros((J * 3,), dtype))
     ones = jnp.ones((J,), dtype)
