@@ -9,9 +9,10 @@ inputs, so scaling is:
   pjit   — the batch axis sharded over the 'data' axis of a device mesh,
            XLA splitting the vmapped solve across chips via ICI.
 
-Ragged sequences are padded to a common frame count with masks: padding
-frames replicate the last real frame (so finite differences vanish there)
-and carry zero contacts.
+Ragged sequences pad to a common frame count: frame-indexed fields
+replicate the last real frame, and a per-sequence frame_mask zeroes every
+cost and constraint residual on padded frames (see physics/collocation.py),
+so padding cannot perturb the real solution.
 """
 from __future__ import annotations
 
@@ -30,10 +31,16 @@ from ..physics.types import PhysInput, PhysResult, PhysWeights
 def pad_phys_inputs(inputs: Sequence[PhysInput], num_frames: Optional[int] = None):
     """Stack per-sequence PhysInputs into one batched PhysInput + mask.
 
-    Frame-indexed fields are padded by repeating the final frame; contacts
-    pad with their final value (a held contact stays consistent with the
-    frozen pose). Returns (batched PhysInput (B, F, ...), seq_lens)."""
-    F = num_frames or max(int(p.base_lin.shape[0]) for p in inputs)
+    Frame-indexed fields repeat the final frame; the frame_mask marks
+    padding so the solver ignores it entirely. Returns
+    (batched PhysInput (B, F, ...), seq_lens)."""
+    longest = max(int(p.base_lin.shape[0]) for p in inputs)
+    F = num_frames or longest
+    if F < longest:
+        raise ValueError(
+            f"num_frames={F} is shorter than the longest sequence ({longest}); "
+            "pad_phys_inputs pads, it does not truncate"
+        )
 
     def pad_time(a, axis):
         a = np.asarray(a)
@@ -54,10 +61,15 @@ def pad_phys_inputs(inputs: Sequence[PhysInput], num_frames: Optional[int] = Non
             arr = np.stack([pad_time(v, 1) for v in vals])
         elif name == "contact":
             arr = np.stack([pad_time(v, 1) for v in vals])
+        elif name == "frame_mask":
+            continue  # built below from seq lengths
         else:
             arr = np.stack([np.asarray(v) for v in vals])
         fields[name] = jnp.asarray(arr)
     seq_lens = np.array([int(p.base_lin.shape[0]) for p in inputs])
+    fields["frame_mask"] = jnp.asarray(
+        (np.arange(F)[None, :] < seq_lens[:, None]).astype(np.float32)
+    )
     return PhysInput(**fields), seq_lens
 
 

@@ -114,12 +114,23 @@ def constraints(x, phys: PhysInput, contact=None) -> Dict[str, jnp.ndarray]:
     n = phys.floor_normal
     p0 = phys.floor_point
     c = phys.contact if contact is None else contact  # (4, F)
+    fm = (
+        jnp.ones((F,), base_lin.dtype)
+        if phys.frame_mask is None
+        else phys.frame_mask.astype(base_lin.dtype)
+    )
+    # finite-difference span gating: central diffs at frame f touch f±1
+    fm3 = fm * jnp.concatenate([fm[1:], fm[-1:]]) * jnp.concatenate([fm[:1], fm[:-1]])
+    pair = fm[:-1] * fm[1:]
 
     out: Dict[str, jnp.ndarray] = {}
 
     # dynamics (humanoid_dynamic_constraint.cpp; gravity dir = −floor normal)
-    out["dyn"] = srbd.dynamic_violation(
-        base_lin, base_ang, ee, force, c, phys.inertia, phys.mass, -n, dt
+    out["dyn"] = (
+        srbd.dynamic_violation(
+            base_lin, base_ang, ee, force, c, phys.inertia, phys.mass, -n, dt
+        )
+        * fm3[:, None]
     )
 
     # leg length (leg_length_constraint.cpp:38-60): ½‖ee − (R·hip + base)‖² ≤ ½L²
@@ -132,18 +143,18 @@ def constraints(x, phys: PhysInput, contact=None) -> Dict[str, jnp.ndarray]:
     lmax = jnp.stack(
         [phys.max_leg_length, phys.max_leg_length, phys.max_heel_length, phys.max_heel_length]
     )
-    out["leg"] = 0.5 * d2 - 0.5 * (lmax[:, None] ** 2)  # ≤ 0
+    out["leg"] = (0.5 * d2 - 0.5 * (lmax[:, None] ** 2)) * fm[None, :]  # ≤ 0
 
     # heel↔toe distance equality (ee_dist_constraint.cpp:34-94), pairs (0,2),(1,3)
     hd2 = jnp.sum((ee[:2] - ee[2:]) ** 2, axis=-1)  # (2, F)
-    out["heel"] = 0.5 * hd2 - 0.5 * phys.heel_dist ** 2
+    out["heel"] = (0.5 * hd2 - 0.5 * phys.heel_dist ** 2) * fm[None, :]
 
     # on-terrain during contact (TOWR TerrainConstraint)
     height = jnp.einsum("efc,c->ef", ee - p0, n)  # (4, F)
-    out["terrain"] = c * height
+    out["terrain"] = c * height * fm[None, :]
 
     # stance no-slip: consecutive contact frames share the EE position
-    both = (c[:, :-1] * c[:, 1:])[..., None]  # (4, F-1, 1)
+    both = (c[:, :-1] * c[:, 1:] * pair[None, :])[..., None]  # (4, F-1, 1)
     out["slip"] = both * (ee[:, 1:] - ee[:, :-1])
 
     # friction cone + bounds on effective (masked) force
@@ -153,10 +164,10 @@ def constraints(x, phys: PhysInput, contact=None) -> Dict[str, jnp.ndarray]:
     ft2 = jnp.sum(ft * ft, axis=-1)
     out["force"] = jnp.stack(
         [-fn, fn - FORCE_LIMIT, ft2 - FRICTION ** 2 * fn ** 2], axis=-1
-    )  # (4, F, 3) all ≤ 0
+    ) * fm[None, :, None]  # (4, F, 3) all ≤ 0
 
     # above-floor clearance everywhere (height_constraint.cpp:23-58)
-    out["height"] = -height  # ≤ 0
+    out["height"] = -height * fm[None, :]  # ≤ 0
 
     return out
 
@@ -170,24 +181,33 @@ def cost_residuals(x, phys: PhysInput, w: CostW, contact=None):
     base_lin, base_ang, ee, force = split_vars(x, F)
     dt = phys.dt
     c = phys.contact if contact is None else contact
+    F_ = base_lin.shape[0]
+    fm = (
+        jnp.ones((F_,), base_lin.dtype)
+        if phys.frame_mask is None
+        else phys.frame_mask.astype(base_lin.dtype)
+    )
+    pair = fm[:-1] * fm[1:]
+    triple = pair[:-1] * fm[2:]
 
     parts = [
-        np.sqrt(w.data_lin) * (base_lin - phys.base_lin),
-        np.sqrt(w.data_ang) * (base_ang - phys.base_ang),
-        np.sqrt(w.data_ee) * (ee - phys.ee_pos),
-        np.sqrt(w.sv_lin) * (base_lin[1:] - base_lin[:-1]),
-        np.sqrt(w.sv_ang) * (base_ang[1:] - base_ang[:-1]),
-        np.sqrt(w.sv_ee) * (ee[:, 1:] - ee[:, :-1]),
+        np.sqrt(w.data_lin) * (base_lin - phys.base_lin) * fm[:, None],
+        np.sqrt(w.data_ang) * (base_ang - phys.base_ang) * fm[:, None],
+        np.sqrt(w.data_ee) * (ee - phys.ee_pos) * fm[None, :, None],
+        np.sqrt(w.sv_lin) * (base_lin[1:] - base_lin[:-1]) * pair[:, None],
+        np.sqrt(w.sv_ang) * (base_ang[1:] - base_ang[:-1]) * pair[:, None],
+        np.sqrt(w.sv_ee) * (ee[:, 1:] - ee[:, :-1]) * pair[None, :, None],
         # keep swing-phase force variables pinned (they're masked out of the
-        # dynamics, so nothing else constrains them)
-        1e-2 * (1.0 - c[..., None]) * force,
-        1e-4 * c[..., None] * force,  # mild force regularization
+        # dynamics, so nothing else constrains them); padded-frame force
+        # variables are likewise pinned to zero
+        1e-2 * (1.0 - c[..., None] * fm[None, :, None]) * force,
+        1e-4 * c[..., None] * fm[None, :, None] * force,
     ]
     if w.sa > 0:
         parts += [
-            np.sqrt(w.sa) * (base_lin[2:] - 2 * base_lin[1:-1] + base_lin[:-2]),
-            np.sqrt(w.sa) * (base_ang[2:] - 2 * base_ang[1:-1] + base_ang[:-2]),
-            np.sqrt(w.sa) * (ee[:, 2:] - 2 * ee[:, 1:-1] + ee[:, :-2]),
+            np.sqrt(w.sa) * (base_lin[2:] - 2 * base_lin[1:-1] + base_lin[:-2]) * triple[:, None],
+            np.sqrt(w.sa) * (base_ang[2:] - 2 * base_ang[1:-1] + base_ang[:-2]) * triple[:, None],
+            np.sqrt(w.sa) * (ee[:, 2:] - 2 * ee[:, 1:-1] + ee[:, :-2]) * triple[None, :, None],
         ]
 
     # initial/final base pins: pos + 5-frame-averaged velocity

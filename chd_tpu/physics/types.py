@@ -33,6 +33,9 @@ class PhysInput(NamedTuple):
     heel_dist: jnp.ndarray       # () toe↔heel separation
     floor_normal: jnp.ndarray    # (3,) unit, points away from ground
     floor_point: jnp.ndarray     # (3,)
+    frame_mask: jnp.ndarray = None  # (F,) 1 = real frame; None = all real.
+    # Ragged batches pad to a common F (parallel/batch.pad_phys_inputs);
+    # masked frames contribute no cost or constraint residuals at all.
 
 
 class PhysWeights(NamedTuple):

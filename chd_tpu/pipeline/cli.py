@@ -148,7 +148,7 @@ def main(argv=None):
 
         cfg = _load_config(args)
         res = run_physics_stage(args.video_dir, cfg)
-        print(json.dumps({k: (v if not isinstance(v, dict) else v) for k, v in res.items()}))
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "run":

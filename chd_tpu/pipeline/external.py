@@ -72,15 +72,17 @@ def run_openpose(
             "--display", "0",
             "--model_pose", "BODY_25",
             "--number_people_max", "1",
-            "--render_pose", "0",
         ]
         if hands:
             cmd += ["--hand"]
         if face:
             cmd += ["--face"]
-        if save_video:
-            cmd += ["--write_video", os.path.abspath(os.path.join(vd, name + "_openpose.avi")),
-                    "--render_pose", "1", "--display", "0"]
+        if save_video:  # rendering only needed when writing the overlay video
+            cmd += ["--write_video",
+                    os.path.abspath(os.path.join(vd, name + "_openpose.avi")),
+                    "--render_pose", "1"]
+        else:
+            cmd += ["--render_pose", "0"]
         subprocess.run(cmd, cwd=openpose_dir, check=True)
 
 

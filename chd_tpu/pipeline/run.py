@@ -74,7 +74,8 @@ def run_kinematic_stage(
         raise FileNotFoundError(f"no foot_contacts.npy under {video_dir}")
     foot_contacts = np.load(fc_path)
 
-    F = num_frames or min(poses2d_all.shape[0], tc.joint3d.shape[0], foot_contacts.shape[0])
+    available = min(poses2d_all.shape[0], tc.joint3d.shape[0], foot_contacts.shape[0])
+    F = min(num_frames, available) if num_frames else available
 
     conf2d = poses2d_all[:F, :, 2]
     poses2d = poses2d_all[:F, :, :2]
@@ -91,7 +92,6 @@ def run_kinematic_stage(
     poses2d = np.concatenate([poses2d, pad], axis=1)
     conf2d = np.concatenate([conf2d, np.zeros((F, 3))], axis=1)
 
-    np.save(os.path.join(out_dir, "foot_contacts.npy"), foot_contacts[:F])
     vel_constraints = traj_lib.contacts_to_vel_constraints(foot_contacts[:F])
 
     plane_normal = plane_point = None

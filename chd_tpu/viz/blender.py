@@ -16,8 +16,10 @@ Pipeline (reference anchors):
 - render N views to frame PNGs, then assemble mp4s (:372-381).
 
 Usage:
-  blender -b -P -m ... -- --video-dir <dir> --character ybot \
-      --fbx <char.fbx> [--views 2] [--out render_out]
+  blender -b -P chd_tpu/viz/blender.py -- \
+      --video-dir <dir> --character ybot --fbx <char.fbx> \
+      [--views 2] [--out render_out]
+(the script bootstraps its package imports when executed as a file)
 """
 from __future__ import annotations
 
@@ -25,6 +27,10 @@ import argparse
 import math
 import os
 import sys
+
+if __package__ in (None, ""):  # executed as a file under `blender -P`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    __package__ = "chd_tpu.viz"
 
 try:
     import bpy  # type: ignore
@@ -40,7 +46,7 @@ CHARACTER_SCALE = {"ybot": 1.0, "skeletonzombie": 1.0, "ty": 1.0}
 
 def pick_result(phys_out_dir: str):
     """Choose durations > dynamics result by success_log (ref :570-595)."""
-    from ..physics.towr_io import load_success_log
+    from chd_tpu.physics.towr_io import load_success_log
 
     log_path = os.path.join(phys_out_dir, "success_log.txt")
     log = load_success_log(log_path) if os.path.exists(log_path) else {}
@@ -98,6 +104,10 @@ if HAVE_BPY:
         return armature, meshes
 
     def setup_camera_and_light(center, radius, view_idx: int = 0, num_views: int = 2):
+        # remove any previous view's rig so lights don't accumulate across views
+        for obj in list(bpy.data.objects):
+            if obj.type in ("CAMERA", "LIGHT"):
+                bpy.data.objects.remove(obj, do_unlink=True)
         angle = 2 * math.pi * view_idx / max(num_views, 1) - math.pi / 2
         cam_loc = center + Vector(
             (radius * 2.5 * math.cos(angle), radius * 2.5 * math.sin(angle), radius)
@@ -111,8 +121,8 @@ if HAVE_BPY:
         bpy.ops.object.light_add(type="SUN", location=center + Vector((0, 0, 5)))
         return cam
 
-    def draw_com_and_forces(results, frame_start: int = 1):
-        """COM sphere + force arrows keyframed per frame (ref :423-540)."""
+    def draw_com_and_forces(results, frame_start: int = 1, force_scale: float = 1e-3):
+        """COM sphere + per-foot force arrows keyframed per frame (ref :423-540)."""
         bpy.ops.mesh.primitive_uv_sphere_add(radius=0.05)
         com = bpy.context.active_object
         com.name = "COM"
@@ -121,7 +131,30 @@ if HAVE_BPY:
             p = results.base_pos[f]
             com.location = (-p[0], -p[2], -p[1])
             com.keyframe_insert(data_path="location", frame=frame_start + f)
-        return com
+
+        arrows = []
+        E = results.feet_pos.shape[1]
+        for e in range(E):
+            bpy.ops.mesh.primitive_cylinder_add(radius=0.01, depth=1.0)
+            arrow = bpy.context.active_object
+            arrow.name = f"force{e}"
+            arrows.append(arrow)
+            for f in range(F):
+                foot = results.feet_pos[f, e]
+                force = results.feet_force[f, e] * force_scale
+                base = Vector((-foot[0], -foot[2], -foot[1]))
+                vec = Vector((-force[0], -force[2], -force[1]))
+                length = max(vec.length, 1e-6)
+                arrow.location = base + vec * 0.5
+                arrow.rotation_mode = "QUATERNION"
+                arrow.rotation_quaternion = Vector((0, 0, 1)).rotation_difference(
+                    vec.normalized() if vec.length > 1e-9 else Vector((0, 0, 1))
+                )
+                arrow.scale = (1.0, 1.0, length)
+                arrow.keyframe_insert(data_path="location", frame=frame_start + f)
+                arrow.keyframe_insert(data_path="rotation_quaternion", frame=frame_start + f)
+                arrow.keyframe_insert(data_path="scale", frame=frame_start + f)
+        return com, arrows
 
     def render_views(out_dir: str, num_frames: int, num_views: int, center, radius,
                      fps: int = 30, resolution=(1280, 720)):
@@ -139,7 +172,7 @@ if HAVE_BPY:
     def render_multiview_eval(video_dir: str, character: str, fbx_path: str,
                               out_dir: str, num_views: int = 2):
         """Full render of the best physics result (ref :543-660)."""
-        from ..physics.towr_io import load_results
+        from chd_tpu.physics.towr_io import load_results
 
         name = os.path.basename(os.path.abspath(video_dir))
         phys_out = os.path.join(video_dir, f"phys_optim_out_{character}")
