@@ -41,7 +41,10 @@ def optimize_trajectory_batch(
     lm_cfg: LMConfig = LMConfig(max_iters=50, cg_iters=100),
     mesh=None,
     dtype=jnp.float32,
-    ik_solver: str = "lu",  # "cg" avoids serialized LU chunks on TPU
+    ik_solver: str = "cg",  # measured 19x faster than chunked LU on v5e
+    # (200-iter batch-16 IK: 0.74s cg vs 13.9s lu — the lax.map'd LU chunks
+    # serialize; CG's batched 84x84 matvecs stay on the MXU). "lu" remains
+    # available for bit-exactness vs the reference's per-frame lu_solve.
 ) -> List[traj_lib.TrajectoryResult]:
     """problems: per-sequence dicts with keys pose2d (F,28,2), conf2d (F,28),
     pose3d (F,28,3), root_pos (F,3), smpl_angles (F,J,3),

@@ -44,12 +44,13 @@ class IKConfig:
     smoothness: float = 0.0
     translate: bool = False
     gamma: float = 1.0
-    # "lu": exact chunked LU (bit-matches the reference's per-frame lu_solve;
-    #       measured FASTER than cg on v5e for the pipeline's sizes, since
-    #       64 batched 84×84 matvecs outweigh 7 chunked factorizations);
+    # "lu": exact chunked LU (bit-matches the reference's per-frame lu_solve,
+    #       InverseKinematics.py:511-512) — kept as the parity oracle;
     # "cg": fixed-iteration Jacobi-preconditioned CG on the SPD normal
-    #       matrix — fully parallel, no triangular solves; useful if a
-    #       future problem size ever re-hits VMEM limits.
+    #       matrix. Measured 19× faster than "lu" on v5e (batch-16 × 100
+    #       frames × 200 iters: 0.74 s vs 13.9 s) because the lax.map'd LU
+    #       chunks serialize while CG's batched 84×84 matvecs stay on the
+    #       MXU. The batched/pipeline paths default to "cg".
     solver: str = "lu"
     cg_iters: int = 64
 

@@ -82,13 +82,14 @@ def _pcg(matvec: Callable, b, inv_diag, iters: int):
     return x
 
 
-@partial(jax.jit, static_argnames=("residual_fn", "cfg"))
+@partial(jax.jit, static_argnames=("residual_fn", "cfg", "banded_spec"))
 def lm_solve(
     residual_fn: Callable,
     x0,
     args=(),
     cfg: LMConfig = LMConfig(),
     diag_masks: Optional[jnp.ndarray] = None,
+    banded_spec: Optional[tuple] = None,
 ):
     """Minimize ½‖residual_fn(x, *args)‖² from x0. Returns (x, final_cost).
 
@@ -96,7 +97,20 @@ def lm_solve(
     constant, so one compilation serves every sequence of the same shape).
     ``diag_masks`` (from ``frame_coloring_masks``) turns on exact Marquardt
     scaling + Jacobi preconditioning; without it, damping is λI.
+
+    ``banded_spec=(num_frames, dofs_per_frame)`` switches the inner solve
+    from matrix-free PCG to the exact block-pentadiagonal factorization
+    (kinematics/banded.py): the full banded JᵀJ is extracted by frame
+    coloring and solved directly — one block-Thomas scan instead of
+    ``cg_iters`` sequential JVP+VJP passes per LM iteration. Requires the
+    residual to couple frames no further than ``bandwidth`` (=2) apart and
+    variables laid out frame-major. ``diag_masks`` is ignored.
     """
+    if banded_spec is not None:
+        from . import banded as banded_lib
+
+        bF, bD = banded_spec
+        banded_masks = banded_lib.coloring_masks(bF, bD, 2, x0.dtype)
 
     def res(x):
         return residual_fn(x, *args)
@@ -115,6 +129,26 @@ def lm_solve(
         def jtjv(v):
             _, Jv = jax.jvp(res, (x,), (v,))
             return vjp(Jv)[0]
+
+        if banded_spec is not None:
+            U0, L1, L2 = banded_lib.banded_jtj(jtjv, banded_masks, bF, bD, 2)
+            diagv = jnp.diagonal(U0, axis1=-2, axis2=-1)  # (F, D)
+            scale_f = jnp.maximum(diagv, cfg.diag_floor)
+            A0 = U0 + lam * jax.vmap(jnp.diag)(scale_f)
+            delta = banded_lib.block_penta_solve(
+                A0, L1, L2, (-g).reshape(bF, bD)
+            ).reshape(-1)
+            x_new = x + delta
+            c_new = cost(x_new)
+            accept = c_new < c
+            x = jnp.where(accept, x_new, x)
+            c = jnp.where(accept, c_new, c)
+            lam = jnp.clip(
+                jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+                cfg.min_lambda,
+                cfg.max_lambda,
+            )
+            return (x, lam, c), c
 
         if diag_masks is not None:
             diag = jnp.sum(jax.vmap(lambda m: m * jtjv(m))(diag_masks), axis=0)

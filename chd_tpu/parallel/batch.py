@@ -17,7 +17,7 @@ so padding cannot perturb the real solution.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,7 @@ import numpy as np
 
 from ..kinematics.lm import LMConfig, frame_coloring_masks, lm_solve
 from ..physics import collocation
+from ..physics import durations as dur_lib
 from ..physics.types import PhysInput, PhysResult, PhysWeights
 
 
@@ -119,6 +120,139 @@ def solve_physics_batch(
         x, lams = vstage(x, phys_batch, lams, dyn_cost, collocation.DYN_H_RHO)
     res_dyn = jax.vmap(collocation._to_result)(x, phys_batch)
     return res_fit, res_dyn
+
+
+def pad_duration_specs(phys_batch: PhysInput) -> dur_lib.DurationSpec:
+    """Per-sequence DurationSpecs from the batched (padded) contact
+    schedules, padded to a common phase count P_max (zero-length phases with
+    phase_mask 0 — soft_contact hard-masks them). Returns a batched
+    DurationSpec with leading axis B."""
+    B = phys_batch.contact.shape[0]
+    specs = [
+        dur_lib.build_duration_spec(
+            np.asarray(phys_batch.contact[i]), float(phys_batch.dt[i])
+        )
+        for i in range(B)
+    ]
+    P = max(int(s.durations.shape[1]) for s in specs)
+
+    def pad(a, width):
+        a = np.asarray(a)
+        return np.concatenate(
+            [a, np.zeros((a.shape[0], width - a.shape[1]), a.dtype)], axis=1
+        )
+
+    return dur_lib.DurationSpec(
+        jnp.asarray(np.stack([pad(s.durations, P) for s in specs])),
+        jnp.asarray(np.stack([pad(s.phase_mask, P) for s in specs])),
+        jnp.asarray(np.stack([pad(s.contact_phase, P) for s in specs])),
+        jnp.asarray(np.stack([np.asarray(s.total_time) for s in specs])),
+    )
+
+
+def solve_physics_durations_batch(
+    phys_batch: PhysInput,
+    stage2: PhysResult,
+    weights: PhysWeights = PhysWeights(),
+    cfg: collocation.SolveConfig = collocation.SolveConfig(),
+    mesh=None,
+) -> Tuple[PhysResult, Dict[str, jnp.ndarray], np.ndarray]:
+    """Batched stage-3 duration refinement + stage-4 frozen re-solve.
+
+    vmap of collocation.solve_physics_durations (phys_optim.cpp:663-749):
+    per-sequence phase durations (padded to the batch's P_max) join the LM
+    variable vector behind a soft contact schedule, then each sequence is
+    re-solved with its re-rasterized schedule frozen. Returns (batched
+    result, batched violation stats, per-sequence durations_ok flags —
+    callers keep the stage-2 result where ok is False, the reference's
+    fallback rule)."""
+    B, F = phys_batch.base_lin.shape[:2]
+    dtype = phys_batch.base_lin.dtype
+    spec_b = pad_duration_specs(phys_batch)
+    P = int(spec_b.durations.shape[-1])
+    dof_d = 4 * P
+    n_traj = F * collocation.DOF
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        put = lambda t: jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, Pspec("data"))), t
+        )
+        phys_batch, stage2, spec_b = put(phys_batch), put(stage2), put(spec_b)
+
+    dyn_cost = collocation.CostW(
+        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
+        0.001, 0.001, weights.w_smooth, 0.0, 1e3,  # no accel smoothing with
+        # duration optimization (reference: vel_smooth_cost.cpp:72-79)
+    )
+    fn3 = collocation.make_stage3_residual_fn(
+        dyn_cost, collocation.DYN_H_RHO, weights.w_dur, F
+    )
+
+    traj_masks = frame_coloring_masks(F, collocation.DOF, dtype=dtype)
+    masks_aug = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [traj_masks, jnp.zeros((traj_masks.shape[0], dof_d), dtype)], axis=1
+            ),
+            jnp.concatenate(
+                [jnp.zeros((dof_d, n_traj), dtype), jnp.eye(dof_d, dtype=dtype)],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    )
+
+    def stage3_iter(x_aug, phys, lams, spec):
+        x_aug, _ = lm_solve(fn3, x_aug, (phys, lams, spec), cfg.lm, diag_masks=masks_aug)
+        d = x_aug[n_traj:].reshape(spec.durations.shape)
+        c_soft = dur_lib.soft_contact(d, spec, F, phys.dt)
+        lams = collocation.update_multipliers(
+            x_aug[:n_traj], phys, lams, collocation.DYN_H_RHO, contact=c_soft
+        )
+        return x_aug, lams
+
+    v_stage3 = jax.vmap(stage3_iter)
+
+    x2 = jax.vmap(collocation.join_vars)(
+        stage2.base_lin, stage2.base_ang, stage2.ee_pos, stage2.ee_force
+    )
+    x_aug = jnp.concatenate([x2, spec_b.durations.reshape(B, -1)], axis=-1)
+    lams = jax.vmap(collocation.init_multipliers)(phys_batch)
+    for _ in range(cfg.al_iters_durations):
+        x_aug, lams = v_stage3(x_aug, phys_batch, lams, spec_b)
+
+    x3 = x_aug[:, :n_traj]
+    d3 = x_aug[:, n_traj:].reshape(spec_b.durations.shape)
+    new_contact = jax.vmap(lambda d, s, dt: dur_lib.rasterize(d, s, F, dt))(
+        d3, spec_b, phys_batch.dt
+    )
+    phys_new = phys_batch._replace(contact=new_contact)
+
+    # STAGE 4: frozen-duration polish under the re-rasterized hard schedule
+    fn4 = collocation.make_al_residual_fn(dyn_cost, collocation.DYN_H_RHO)
+
+    def stage4_iter(x, phys, lams):
+        x, _ = lm_solve(fn4, x, (phys, lams), cfg.lm, diag_masks=traj_masks)
+        lams = collocation.update_multipliers(x, phys, lams, collocation.DYN_H_RHO)
+        return x, lams
+
+    v_stage4 = jax.vmap(stage4_iter)
+    lams4 = jax.vmap(collocation.init_multipliers)(phys_new)
+    x4 = x3
+    for _ in range(max(cfg.al_iters_height, 1)):
+        x4, lams4 = v_stage4(x4, phys_new, lams4)
+
+    stats = jax.vmap(collocation.violation_stats_arrays)(x4, phys_new)
+    old_stats = jax.vmap(collocation.violation_stats_arrays)(x2, phys_batch)
+    dyn_floor = collocation._dyn_tol_floor(phys_batch.mass)
+    ok = jnp.logical_and(
+        stats["dyn"] <= jnp.maximum(2.0 * old_stats["dyn"], dyn_floor),
+        stats["terrain"] <= jnp.maximum(2.0 * old_stats["terrain"], 0.02),
+    )
+    res = jax.vmap(collocation._to_result)(x4, phys_new)
+    return res, stats, np.asarray(ok)
 
 
 def unbatch_results(res: PhysResult, seq_lens) -> List[PhysResult]:

@@ -367,6 +367,23 @@ def violation_stats(x, phys, contact=None) -> Dict[str, float]:
     }
 
 
+def violation_stats_arrays(x, phys, contact=None) -> Dict[str, jnp.ndarray]:
+    """Pure-jnp violation_stats (scalar arrays) — vmappable over a batch."""
+    cons = constraints(x, phys, contact=contact)
+    return {
+        name: jnp.abs(v).max() if not INEQ[name] else jnp.maximum(v, 0).max()
+        for name, v in cons.items()
+    }
+
+
+def _dyn_tol_floor(mass) -> jnp.ndarray:
+    """Absolute dynamics-violation tolerance floor, scaled to body weight.
+
+    1 N per 73 kg reference body (≈1.4e-3·m·g): a fixed 1.0 N floor would
+    over-bless light characters (ty is 31 kg)."""
+    return jnp.asarray(mass) * 9.81 / (73.0 * 9.81)
+
+
 def solve_physics_durations(
     phys: PhysInput,
     stage2: PhysResult,
@@ -428,11 +445,13 @@ def solve_physics_durations(
 
     stats = violation_stats(x_new, phys_new)
     # success criterion ≈ IPOPT status: constraint violations comparable to
-    # the stage-2 solve
+    # the stage-2 solve (absolute floors scale with body weight — a fixed
+    # 1 N floor would bless bad solves on light characters)
     old_stats = violation_stats(x, phys)
-    ok = stats["dyn"] <= max(2.0 * old_stats["dyn"], 1.0) and stats["terrain"] <= max(
-        2.0 * old_stats["terrain"], 0.02
-    )
+    dyn_floor = float(_dyn_tol_floor(phys.mass))
+    ok = stats["dyn"] <= max(2.0 * old_stats["dyn"], dyn_floor) and stats[
+        "terrain"
+    ] <= max(2.0 * old_stats["terrain"], 0.02)
     res = _to_result(x_new, phys_new)
     return res, stats, bool(ok)
 

@@ -49,6 +49,7 @@ def test_duration_residuals_zero_at_init():
     assert float(jnp.abs(r).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_stage3_solve_runs_and_reports():
     phys = standing_hop_input(F=30)
     # make a schedule with real swing phases so durations are meaningful

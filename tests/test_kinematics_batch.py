@@ -1,4 +1,5 @@
 """Batched kinematic optimization matches the single-sequence path."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -46,6 +47,7 @@ def make_problem(rng, skel, F):
     )
 
 
+@pytest.mark.slow
 def test_batch_matches_single():
     rng = np.random.default_rng(17)
     skel, names, _ = bvh.load(SKEL_BVH)

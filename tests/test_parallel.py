@@ -28,6 +28,7 @@ def quick_cfg():
     )
 
 
+@pytest.mark.slow
 def test_batched_physics_matches_single(quick_cfg):
     """vmapped batch solve == per-sequence solve (same math, lockstep)."""
     phys = standing_hop_input(F=20)
@@ -42,6 +43,39 @@ def test_batched_physics_matches_single(quick_cfg):
     )
 
 
+@pytest.mark.slow
+def test_batched_durations_matches_single(quick_cfg):
+    """Batched stage-3+4 duration solve == per-sequence solve_physics_durations."""
+    cfg = collocation.SolveConfig(
+        al_iters_fit=1, al_iters_dyn=1, al_iters_height=1, al_iters_durations=1,
+        lm=quick_cfg.lm,
+    )
+    phys = standing_hop_input(F=20)
+    batched, lens = batch_lib.pad_phys_inputs([phys, phys])
+    _, rd_b = batch_lib.solve_physics_batch(batched, PhysWeights(), cfg)
+    res_b, stats_b, ok_b = batch_lib.solve_physics_durations_batch(
+        batched, rd_b, PhysWeights(), cfg
+    )
+    _, rd_s, _ = collocation.solve_physics(phys, PhysWeights(), cfg)
+    res_s, stats_s, ok_s = collocation.solve_physics_durations(
+        phys, rd_s, PhysWeights(), cfg
+    )
+    assert ok_b.shape == (2,)
+    assert bool(ok_b[0]) == ok_s and bool(ok_b[1]) == ok_s
+    np.testing.assert_allclose(
+        np.asarray(res_b.base_lin[0]), np.asarray(res_s.base_lin), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.contact[0]), np.asarray(res_s.contact), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.base_lin[0]), np.asarray(res_b.base_lin[1]), atol=1e-6
+    )
+    for k, v in stats_b.items():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+@pytest.mark.slow
 def test_batched_physics_ragged_padding(quick_cfg):
     """Sequences of different lengths solve together; trimmed outputs finite."""
     p1 = standing_hop_input(F=20)
@@ -56,6 +90,7 @@ def test_batched_physics_ragged_padding(quick_cfg):
         assert np.isfinite(o.base_lin).all() and np.isfinite(o.ee_force).all()
 
 
+@pytest.mark.slow
 def test_batched_physics_on_mesh(quick_cfg):
     """Same solve with the batch sharded across the 8-device mesh."""
     mesh = mesh_lib.make_mesh(model=1)

@@ -5,6 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from chd_tpu.kinematics.lm import LMConfig
 from chd_tpu.physics import collocation, srbd
 from chd_tpu.physics.types import GRAVITY, PhysInput, PhysWeights

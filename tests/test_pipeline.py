@@ -107,6 +107,7 @@ def cfg():
     )
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path, cfg):
     vd = synthesize_video_dir(tmp_path)
 

@@ -55,6 +55,7 @@ def test_softmin_matches_reference(ref_retarget):
     np.testing.assert_allclose(ours, theirs, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_retarget_matches_reference(tmp_path, ref_retarget):
     src_path, src = make_source_motion(tmp_path)
 

@@ -60,6 +60,7 @@ def synthetic_learnable_dataset(n_seq=24, F=60, seed=0):
 
 
 @pytest.mark.parametrize("epochs", [150])
+@pytest.mark.slow
 def test_training_learns_contacts(epochs):
     ds = synthetic_learnable_dataset()
     cfg = train_lib.TrainConfig(epochs=epochs, batch_size=16, val_every=50, lr=3e-4)

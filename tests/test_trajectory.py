@@ -110,6 +110,7 @@ def test_residuals_match_reference(ref_traj, problem, floor_w):
     np.testing.assert_allclose(ours, theirs, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_lm_reduces_cost_on_consistent_problem():
     """Realistic setup: 2D/3D evidence generated from a true motion, solver
     started from a perturbed init (the role the IK init plays in the

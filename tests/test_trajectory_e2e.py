@@ -5,6 +5,7 @@ generates a smooth ground-truth motion on the combined skeleton, renders
 2D/3D evidence from it, then checks optimize_trajectory recovers the motion
 (projection error shrinks, contact feet end up on the fitted floor).
 """
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ from chd_tpu.kinematics.residuals import data_order_positions
 SKEL_BVH = "/root/reference/src/skeleton_fitting/combined_body_25.bvh"
 
 
+@pytest.mark.slow
 def test_optimize_trajectory_end_to_end():
     rng = np.random.default_rng(3)
     skel, names, _ = bvh.load(SKEL_BVH)
