@@ -1,12 +1,36 @@
-"""Benchmark: full-video contact inference throughput (frames/sec).
+"""Benchmarks for every BASELINE config with a measurable compute stage.
 
-Compares the chd_tpu jit pipeline (gap-fill → window featurization → contact
-MLP → vote merge, batched over videos on the default JAX device) against a
-faithful re-enactment of the reference CPU pipeline (per-video python
-preprocessing loops + torch MLP over windows + python vote loop — the shape
-of src/contact_learning/test.py --full-video with real_video_dataset).
+Emits ONE JSON line per metric (flagship contact-inference metric LAST):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  physics_seq_per_hour         BASELINE config #4/#5 — batched staged
+                               collocation solve (FIT→DYN→HEIGHT→durations→
+                               frozen polish), 100-frame sequences.
+  kinematic_seq_per_hour       BASELINE config #3 — batched CK-IK init +
+                               2-stage LM trajectory refinement + floor fit.
+  train_steps_per_sec          BASELINE config #2 — contact-MLP train step,
+                               batch 64 (vs the same step in torch on CPU,
+                               measured inline).
+  contact_infer_frames_per_sec BASELINE config #1 — full-video contact
+                               inference (gap-fill → windows → MLP → vote
+                               merge) vs a faithful re-enactment of the
+                               reference CPU pipeline. The torch model's
+                               weights are converted and shared with the JAX
+                               path, and window probabilities are compared
+                               (max |Δ| tripwire) so the perf number carries
+                               a correctness check.
+
+vs_baseline denominators:
+  contact + train: measured inline (torch CPU re-enactment).
+  kinematic: measured once by benchmarks/ref_kinematic_baseline.py — the
+    reference's own CK-IK + sparse-Jacobian least_squares imported from
+    /root/reference and timed on an identical 100-frame problem (recorded in
+    BASELINE.md; override with CHD_REF_KIN_SEC).
+  physics: the reference's IPOPT stack is absent here (TOWR/ifopt/MA57 not
+    installable); BASELINE.md documents "minutes per sequence" for the 4-5
+    stage ≤7000-iteration IPOPT schedule, so we use a conservative 60 s/seq
+    (override with CHD_REF_PHYS_SEC).
+
+Select metrics with CHD_BENCH_METRICS=comma,list (default: all).
 """
 import json
 import os
@@ -19,9 +43,28 @@ import numpy as np
 
 W, P = 9, 5
 FRAMES = 240
-OUR_BATCH = 128   # videos per device batch for the JAX path
-REF_VIDEOS = 2      # videos for the (slow) reference-style baseline
+OUR_BATCH = 128   # videos per device batch for the JAX contact path
+REF_VIDEOS = 2    # videos for the (slow) reference-style contact baseline
 SUBSET = list(range(8, 15)) + list(range(19, 25))  # 'lower'
+
+PHYS_BATCH = 16
+PHYS_FRAMES = 100
+KIN_BATCH = 16
+KIN_FRAMES = 100
+
+# measured by benchmarks/ref_kinematic_baseline.py on this image's CPU
+# (reference code imported from /root/reference; see BASELINE.md)
+REF_KINEMATIC_SEC_PER_SEQ = float(os.environ.get("CHD_REF_KIN_SEC", "0") or 0) or None
+REF_PHYSICS_SEC_PER_SEQ = float(os.environ.get("CHD_REF_PHYS_SEC", "60.0"))
+
+
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": unit,
+        "vs_baseline": round(float(value) / baseline, 2) if baseline else None,
+    }), flush=True)
 
 
 def synth_videos(n, frames, seed=0):
@@ -34,45 +77,9 @@ def synth_videos(n, frames, seed=0):
     return kp
 
 
-def bench_ours(kp):
-    import jax
-    import jax.numpy as jnp
-
-    from chd_tpu.contact.infer import ContactDetector
-    from chd_tpu.models import contact_mlp
-
-    cfg = contact_mlp.ModelConfig()
-    params, state = contact_mlp.init(jax.random.PRNGKey(0), cfg)
-    det = ContactDetector(params, state)
-
-    @jax.jit
-    def run(x, folded):
-        contacts, probs = det._batched(x, folded)
-        # scalar checksum forces full materialization even if the transport
-        # layer's block_until_ready is lazy
-        return contacts, jnp.sum(probs) + jnp.sum(contacts)
-
-    x = jnp.asarray(kp)
-    # warmup/compile (+ checksum to host)
-    _, chk = run(x, det.folded)
-    float(chk)
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        _, chk = run(x, det.folded)
-    float(chk)  # host transfer of the checksum syncs the stream
-    dt = (time.perf_counter() - t0) / n_iter
-    frames = kp.shape[0] * kp.shape[1]
-    return frames / dt
-
-
-def bench_reference_style(kp):
-    """Reference pipeline shape on CPU: python loops + torch model."""
+def _build_torch_model():
     import torch
     import torch.nn as nn
-
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from test_contact_ops import ref_gapfill, ref_votes, ref_window_item
 
     torch.manual_seed(0)
     in_dim = W * len(SUBSET) * 3
@@ -85,7 +92,89 @@ def bench_reference_style(kp):
         nn.Linear(32, 4 * P),
     )
     model.eval()
+    return model
 
+
+def _detector_from_torch(model):
+    """Convert the torch model's weights so both paths share parameters."""
+    from chd_tpu.contact.infer import ContactDetector
+    from chd_tpu.models import torch_convert
+
+    sd = {f"model.{k}": v for k, v in model.state_dict().items()}
+    params, state = torch_convert.from_state_dict(sd)
+    return ContactDetector(params, state)
+
+
+def bench_contact():
+    import jax
+    import jax.numpy as jnp
+
+    kp = synth_videos(OUR_BATCH, FRAMES)
+    try:
+        model = _build_torch_model()
+        det = _detector_from_torch(model)
+    except Exception:
+        model = None
+        from chd_tpu.contact.infer import ContactDetector
+        from chd_tpu.models import contact_mlp
+
+        cfg = contact_mlp.ModelConfig()
+        params, state = contact_mlp.init(jax.random.PRNGKey(0), cfg)
+        det = ContactDetector(params, state)
+
+    @jax.jit
+    def run(x, folded):
+        contacts, probs = det._batched(x, folded)
+        # scalar checksum forces full materialization even if the transport
+        # layer's block_until_ready is lazy
+        return contacts, probs, jnp.sum(probs) + jnp.sum(contacts)
+
+    x = jnp.asarray(kp)
+    contacts, probs, chk = run(x, det.folded)  # warmup/compile
+    float(chk)
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        _, _, chk = run(x, det.folded)
+    float(chk)  # host transfer of the checksum syncs the stream
+    dt = (time.perf_counter() - t0) / n_iter
+    ours_fps = kp.shape[0] * kp.shape[1] / dt
+
+    ref_fps = None
+    if model is not None:
+        try:
+            ref_fps, ref_probs = _contact_reference_style(
+                model, synth_videos(REF_VIDEOS, FRAMES)
+            )
+            # correctness tripwire: same weights, same inputs → window
+            # probabilities must agree between the torch and JAX paths.
+            # On TPU the MXU computes f32 matmuls with bf16 passes, so the
+            # tolerance is ~1e-2 there (measured 1.5e-2); on CPU both paths
+            # are full f32 and agree to ~1e-7.
+            jp = np.asarray(probs[:REF_VIDEOS])
+            dmax = float(np.abs(jp - ref_probs).max())
+            tol = 1e-3 if jax.default_backend() == "cpu" else 5e-2
+            if dmax > tol:
+                print(f"WARNING: jax/torch contact prob mismatch max|d|={dmax:.2e}"
+                      f" (tol {tol:.0e})", file=sys.stderr)
+            else:
+                print(f"tripwire ok: jax/torch prob max|d|={dmax:.2e}",
+                      file=sys.stderr)
+        except Exception as e:  # baseline failure must not kill the bench
+            print(f"WARNING: reference-style contact baseline failed: {e}",
+                  file=sys.stderr)
+    _emit("contact_infer_frames_per_sec", ours_fps, "frames/sec", ref_fps)
+
+
+def _contact_reference_style(model, kp):
+    """Reference pipeline shape on CPU: python loops + torch model.
+    Returns (frames/sec, (V, N, P, 4) probabilities)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from test_contact_ops import ref_gapfill, ref_votes, ref_window_item
+
+    all_probs = []
     t0 = time.perf_counter()
     for v in range(kp.shape[0]):
         x = kp[v].astype(np.float64)
@@ -97,29 +186,247 @@ def bench_reference_style(kp):
             logits = model(
                 torch.from_numpy(feats.reshape(n_win, -1).astype(np.float32))
             ).numpy().reshape(n_win, P, 4)
-        preds = (1 / (1 + np.exp(-logits)) > 0.5).astype(np.float32)
-        ref_votes(preds, W)
+        probs = 1 / (1 + np.exp(-logits))
+        all_probs.append(probs)
+        ref_votes((probs > 0.5).astype(np.float32), W)
     dt = time.perf_counter() - t0
-    frames = kp.shape[0] * kp.shape[1]
-    return frames / dt
+    return kp.shape[0] * kp.shape[1] / dt, np.stack(all_probs)
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+
+    from chd_tpu.contact import train as train_lib
+    from chd_tpu.characters.defs import OP_JOINT_SUBSETS
+    from chd_tpu.models import contact_mlp
+
+    cfg = train_lib.TrainConfig(batch_size=64)
+    subset = OP_JOINT_SUBSETS[cfg.joint_set]
+    mcfg = contact_mlp.ModelConfig(cfg.window_size, len(subset), cfg.pred_size, 3)
+    params, state = contact_mlp.init(jax.random.PRNGKey(0), mcfg)
+    tx = train_lib.make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    B, F = cfg.batch_size, 32
+    n_seq = 4 * B  # dataset of sequences; each epoch = 4 full batches
+    op = jnp.asarray(rng.uniform(0, 5, size=(n_seq, F, 25, 3)), jnp.float32)
+    contacts = jnp.asarray((rng.uniform(size=(n_seq, F, 4)) > 0.5), jnp.float32)
+
+    key = jax.random.PRNGKey(1)
+    n_batches = 32  # steps per compiled scan (steady-state training shape)
+    batch_idx = jnp.asarray(
+        rng.integers(0, n_seq, size=(n_batches, B)), jnp.int32
+    )
+    out = train_lib.train_epoch(params, state, opt_state, op, contacts,
+                                batch_idx, key, cfg=cfg, tx=tx)
+    jax.block_until_ready(out)
+    n_iter = 5
+    t0 = time.perf_counter()
+    p, s, o = params, state, opt_state
+    for i in range(n_iter):
+        p, s, o, losses, conf = train_lib.train_epoch(
+            p, s, o, op, contacts, batch_idx, jax.random.fold_in(key, i),
+            cfg=cfg, tx=tx)
+    jax.block_until_ready(losses)
+    ours = n_iter * n_batches / (time.perf_counter() - t0)
+
+    ref = None
+    try:
+        ref = _train_reference_style(B)
+    except Exception as e:
+        print(f"WARNING: torch train baseline failed: {e}", file=sys.stderr)
+    _emit("train_steps_per_sec", ours, "steps/sec", ref)
+
+
+def _train_reference_style(batch):
+    """Torch CPU train step on identical window features (train.py:102-120)."""
+    import torch
+
+    model = _build_torch_model()
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4, weight_decay=1e-4)
+    crit = torch.nn.BCEWithLogitsLoss()
+    in_dim = W * len(SUBSET) * 3
+    # the reference draws one random window per sequence per step
+    xb = torch.randn(batch, in_dim)
+    yb = (torch.rand(batch, 4 * P) > 0.5).float()
+    for _ in range(3):  # warmup
+        opt.zero_grad(); crit(model(xb), yb).backward(); opt.step()
+    n_iter = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        opt.zero_grad()
+        loss = crit(model(xb), yb)
+        loss.backward()
+        opt.step()
+    return n_iter / (time.perf_counter() - t0)
+
+
+def _walking_phys_input(F, dt=1.0 / 30.0, seed=0):
+    """Walking-like sequence with alternating swing phases (so the stage-3
+    duration solve has real phases to optimize)."""
+    import jax.numpy as jnp
+
+    from chd_tpu.physics.types import PhysInput
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(F) * dt
+    speed = 1.2
+    base_lin = np.stack([
+        speed * t, np.zeros(F), 0.95 + 0.02 * np.sin(2 * np.pi * 1.6 * t)
+    ], axis=1)
+    base_ang = np.zeros((F, 3))
+    base_ang[:, 2] = 0.05 * np.sin(2 * np.pi * 0.8 * t)
+
+    period = int(round(0.5 / dt))  # ~0.5 s per step
+    contact = np.ones((4, F))
+    for f in range(F):
+        ph = (f // period) % 2
+        if ph == 0:
+            contact[[1, 3], f] = 0.0  # right foot (toe+heel) swings
+        else:
+            contact[[0, 2], f] = 0.0
+    contact[:, :3] = 1.0
+    contact[:, -3:] = 1.0
+
+    ee = np.zeros((4, F, 3))
+    side_y = np.array([0.1, -0.1, 0.1, -0.1])
+    heel_dx = np.array([0.0, 0.0, -0.2, -0.2])
+    for e in range(4):
+        x = speed * t + heel_dx[e]
+        z = np.where(contact[e] > 0, 0.0, 0.06)
+        ee[e] = np.stack([x, np.full(F, side_y[e]), z], axis=1)
+
+    inertia = np.tile(np.eye(3) * 8.0, (F, 1, 1))
+    inertia += rng.normal(0, 0.1, size=(F, 3, 3)) * np.eye(3)
+    return PhysInput(
+        dt=jnp.asarray(dt, jnp.float32),
+        base_lin=jnp.asarray(base_lin, jnp.float32),
+        base_ang=jnp.asarray(base_ang, jnp.float32),
+        ee_pos=jnp.asarray(ee, jnp.float32),
+        contact=jnp.asarray(contact, jnp.float32),
+        left_hip=jnp.asarray(np.tile([0.0, 0.1, -0.1], (F, 1)), jnp.float32),
+        right_hip=jnp.asarray(np.tile([0.0, -0.1, -0.1], (F, 1)), jnp.float32),
+        inertia=jnp.asarray(inertia, jnp.float32),
+        mass=jnp.asarray(73.0, jnp.float32),
+        max_leg_length=jnp.asarray(1.2, jnp.float32),
+        max_heel_length=jnp.asarray(1.15, jnp.float32),
+        heel_dist=jnp.asarray(0.2, jnp.float32),
+        floor_normal=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        floor_point=jnp.zeros(3, jnp.float32),
+    )
+
+
+def bench_physics():
+    import jax
+
+    from chd_tpu.parallel import batch as batch_lib
+    from chd_tpu.physics import collocation
+    from chd_tpu.physics.types import PhysWeights
+
+    inputs = [_walking_phys_input(PHYS_FRAMES, seed=i) for i in range(PHYS_BATCH)]
+    batched, lens = batch_lib.pad_phys_inputs(inputs)
+    weights = PhysWeights()
+    cfg = collocation.SolveConfig()
+
+    def solve():
+        rf, rd = batch_lib.solve_physics_batch(batched, weights, cfg)
+        res, stats, ok = batch_lib.solve_physics_durations_batch(
+            batched, rd, weights, cfg)
+        jax.block_until_ready(res.base_lin)
+        return res, ok
+
+    res, ok = solve()  # warmup/compile
+    t0 = time.perf_counter()
+    res, ok = solve()
+    dt = time.perf_counter() - t0
+    if not np.all(np.isfinite(np.asarray(res.base_lin))):
+        print("WARNING: physics bench produced non-finite trajectories",
+              file=sys.stderr)
+    seq_per_hour = PHYS_BATCH / dt * 3600.0
+    _emit("physics_seq_per_hour", seq_per_hour, "seq/hour",
+          3600.0 / REF_PHYSICS_SEC_PER_SEQ)
+
+
+def bench_kinematic():
+    import jax
+    import jax.numpy as jnp
+
+    from chd_tpu.characters import defs
+    from chd_tpu.core import bvh
+    from chd_tpu.kinematics import batch as kbatch
+    from chd_tpu.kinematics import trajectory as traj_lib
+    from chd_tpu.kinematics.residuals import data_order_positions
+
+    skel_bvh = "/root/reference/src/skeleton_fitting/combined_body_25.bvh"
+    if not os.path.exists(skel_bvh):
+        skel_bvh = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "fixtures", "combined_body_25.bvh")
+    skel, names, _ = bvh.load(skel_bvh)
+    J = skel.num_joints
+
+    rng = np.random.default_rng(0)
+    problems = []
+    for i in range(KIN_BATCH):
+        F = KIN_FRAMES
+        e0 = rng.uniform(-0.2, 0.2, size=(J, 3))
+        e1 = e0 + rng.uniform(-0.15, 0.15, size=(J, 3))
+        t = np.linspace(0, 1, F)[:, None, None]
+        es = (1 - t) * e0[None] + t * e1[None]
+        root = np.stack(
+            [np.linspace(0, 15, F), np.full(F, -95.0), np.linspace(380, 395, F)],
+            axis=1)
+        x = np.concatenate([root, es.reshape(F, -1)], axis=1)
+        y, r = data_order_positions(
+            jnp.asarray(x, jnp.float32).reshape(F, -1),
+            jnp.asarray(skel.offsets, jnp.float32), skel.parents)
+        pose3d = np.array(y)
+        pose3d[:, defs.COMBINED_ROOT_IDX] = 0.0
+        world = np.array(y + r[:, None])
+        world[:, defs.COMBINED_ROOT_IDX] = np.asarray(r)
+        fx, fy = defs.MTC_FOCAL
+        cx, cy = defs.MTC_PP
+        pose2d = np.stack(
+            [fx * world[..., 0] / world[..., 2] + cx,
+             fy * world[..., 1] / world[..., 2] + cy], axis=-1)
+        conf = np.ones((F, 28))
+        conf[:, 25:] = 0
+        vc = traj_lib.contacts_to_vel_constraints(
+            (rng.uniform(size=(F, 4)) > 0.5).astype(int))
+        problems.append(dict(
+            pose2d=pose2d, conf2d=conf, pose3d=pose3d, root_pos=root,
+            smpl_angles=-es, vel_constraints=vc))
+
+    def run():
+        res = kbatch.optimize_trajectory_batch(problems, skel)  # full budget:
+        # 200-iter IK + 2x50-iter LM, matching the reference's
+        # optimize_trajectory.py:661,785,614
+        return res
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    seq_per_hour = KIN_BATCH / dt * 3600.0
+    base = (3600.0 / REF_KINEMATIC_SEC_PER_SEQ) if REF_KINEMATIC_SEC_PER_SEQ else None
+    _emit("kinematic_seq_per_hour", seq_per_hour, "seq/hour", base)
 
 
 def main():
-    ours_fps = bench_ours(synth_videos(OUR_BATCH, FRAMES))
-    try:
-        ref_fps = bench_reference_style(synth_videos(REF_VIDEOS, FRAMES))
-    except Exception:
-        ref_fps = float("nan")
-    print(
-        json.dumps(
-            {
-                "metric": "contact_infer_frames_per_sec",
-                "value": round(ours_fps, 1),
-                "unit": "frames/sec",
-                "vs_baseline": round(ours_fps / ref_fps, 2) if ref_fps == ref_fps else None,
-            }
-        )
-    )
+    sel = os.environ.get("CHD_BENCH_METRICS")
+    names = [s.strip() for s in sel.split(",")] if sel else [
+        "physics", "kinematic", "train", "contact"]
+    table = {
+        "physics": bench_physics,
+        "kinematic": bench_kinematic,
+        "train": bench_train,
+        "contact": bench_contact,  # flagship metric printed last
+    }
+    for n in names:
+        table[n]()
 
 
 if __name__ == "__main__":

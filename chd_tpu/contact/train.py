@@ -66,9 +66,8 @@ def loss_and_logits(params, state, feats, labels, dropout_rng, pred_size):
     return loss, (new_state, logits)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
-def train_step(params, state, opt_state, batch_op, batch_contacts, rng, *, cfg: TrainConfig, tx):
-    """One optimizer step over a batch of SEQUENCES (windows sampled inside)."""
+def _train_step_impl(params, state, opt_state, batch_op, batch_contacts, rng,
+                     cfg: TrainConfig, tx):
     k_win, k_drop = jax.random.split(rng)
     feats, labels = data_lib.sample_train_windows(
         k_win, batch_op, batch_contacts, cfg.window_size, cfg.pred_size,
@@ -83,6 +82,41 @@ def train_step(params, state, opt_state, batch_op, batch_contacts, rng, *, cfg: 
     pred = jax.nn.sigmoid(logits[:, mid]) > cfg.classify_thresh
     conf = metrics_lib.confusion_counts(pred, labels[:, mid] > 0.5)
     return new_params, new_state, new_opt_state, loss, conf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+def train_step(params, state, opt_state, batch_op, batch_contacts, rng, *, cfg: TrainConfig, tx):
+    """One optimizer step over a batch of SEQUENCES (windows sampled inside)."""
+    return _train_step_impl(params, state, opt_state, batch_op, batch_contacts,
+                            rng, cfg, tx)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+def train_epoch(params, state, opt_state, train_op, train_ct, batch_idx, rng,
+                *, cfg: TrainConfig, tx):
+    """All full batches of an epoch inside ONE compiled lax.scan.
+
+    One device dispatch per epoch instead of one per batch: with a model
+    this small (≈0.9 MB of params) the per-step path is dominated by host
+    dispatch latency, which an interactive tunnel (or a remote coordinator)
+    multiplies. batch_idx is (n_batches, B) permuted sequence indices.
+    Returns per-batch losses (n_batches,) and summed Confusion.
+    """
+    keys = jax.random.split(rng, batch_idx.shape[0])
+
+    def step(carry, xs):
+        p, s, o = carry
+        idx, k = xs
+        op = jnp.take(train_op, idx, axis=0)
+        ct = jnp.take(train_ct, idx, axis=0)
+        p, s, o, loss, conf = _train_step_impl(p, s, o, op, ct, k, cfg, tx)
+        return (p, s, o), (loss, jnp.stack(conf))
+
+    (params, state, opt_state), (losses, confs) = jax.lax.scan(
+        step, (params, state, opt_state), (batch_idx, keys)
+    )
+    conf_sum = metrics_lib.Confusion(*confs.sum(axis=0))
+    return params, state, opt_state, losses, conf_sum
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "overlap"))
@@ -134,17 +168,35 @@ def train(
     best_f1 = -np.inf
     rng_np = np.random.default_rng(cfg.seed)
 
+    n_full = n_train // cfg.batch_size
+
     for epoch in range(cfg.epochs):
         perm = rng_np.permutation(n_train)
         epoch_loss, conf_sum, nb = 0.0, None, 0
-        for s in range(0, n_train, cfg.batch_size):
+        if n_full > 0:  # all full batches in one compiled scan (one dispatch)
+            batch_idx = jnp.asarray(
+                perm[: n_full * cfg.batch_size].reshape(n_full, cfg.batch_size)
+            )
+            key, k = jax.random.split(key)
+            params, state, opt_state, losses, conf_sum = train_epoch(
+                params, state, opt_state, train_op, train_ct, batch_idx, k,
+                cfg=cfg, tx=tx,
+            )
+            epoch_loss += float(losses.sum())
+            nb += n_full
+        for s in range(n_full * cfg.batch_size, n_train, cfg.batch_size):
+            # ragged tail batch (the reference's DataLoader keeps it too)
             idx = jnp.asarray(perm[s : s + cfg.batch_size])
             key, k = jax.random.split(key)
             params, state, opt_state, loss, conf = train_step(
                 params, state, opt_state, train_op[idx], train_ct[idx], k, cfg=cfg, tx=tx
             )
             epoch_loss += float(loss)
-            conf_sum = conf if conf_sum is None else conf_sum + conf
+            conf_sum = (
+                conf
+                if conf_sum is None
+                else metrics_lib.Confusion(*(a + b for a, b in zip(conf_sum, conf)))
+            )
             nb += 1
 
         if epoch % log_every == 0:

@@ -154,10 +154,22 @@ def run_physics_stage(video_dir: str, cfg: PipelineConfig, video_name: Optional[
         point = np.array([float(x) for x in f.readline().split()])
     contacts = np.load(os.path.join(kin, "foot_contacts.npy"))
 
+    fps = cfg.fps
+    if cfg.probe_fps:
+        from .probe import probe_fps
+
+        fps = probe_fps(video_dir, default=cfg.fps)
+
     F = min(anim.num_frames, contacts.shape[0])
+    if anim.num_frames != contacts.shape[0]:
+        log.warning(
+            "frame-count mismatch in %s: BVH has %d frames, foot_contacts.npy "
+            "has %d (at %.0f fps); truncating to %d",
+            video_dir, anim.num_frames, contacts.shape[0], fps, F,
+        )
     phys = prepare_input(
         anim.slice_frames(0, F), normal, point, contacts[:F], char,
-        start_idx=0, end_idx=F, dt=1.0 / cfg.fps, out_dir=in_dir,
+        start_idx=0, end_idx=F, dt=1.0 / fps, out_dir=in_dir,
     )
 
     pw = PhysWeights(

@@ -64,6 +64,9 @@ class PhysicsConfig:
 class PipelineConfig:
     character: str = "ybot"
     fps: float = 30.0
+    # probe the true fps from the clip in each video dir (run_phys_mocap.py:
+    # 88-89); fps above is the fallback when no clip is present
+    probe_fps: bool = True
     image_dims: Tuple[int, int] = (1920, 1080)
     contact: ContactConfig = dataclasses.field(default_factory=ContactConfig)
     kinematic: KinematicConfig = dataclasses.field(default_factory=KinematicConfig)

@@ -44,6 +44,30 @@ except ImportError:  # not running inside Blender
 CHARACTER_SCALE = {"ybot": 1.0, "skeletonzombie": 1.0, "ty": 1.0}
 
 
+def estimate_kinematic_forces(com_traj, floor_normal, mass, fps: float = 30.0):
+    """Estimated ground-reaction force for a KINEMATIC-ONLY result:
+    F = m·(a − g) from central-difference COM acceleration, gravity along
+    −floor_normal (viz_blender.py:637-659 — the paper's side-by-side showing
+    how noisy un-physics'd forces are). Pure numpy, anim coords (meters).
+
+    com_traj: (F, 3); returns (F, 1, 3) single net force applied at the COM.
+    """
+    import numpy as np
+
+    com = np.asarray(com_traj, float)
+    n = np.asarray(floor_normal, float)
+    n = n / max(np.linalg.norm(n), 1e-12)
+    h = 1.0 / fps
+    if com.shape[0] < 3:
+        accel = np.zeros_like(com)
+    else:
+        interior = (com[2:] - 2 * com[1:-1] + com[:-2]) / (h * h)
+        accel = np.concatenate([interior[:1], interior, interior[-1:]], axis=0)
+    g = -n[None, :] * 9.81
+    force = mass * (accel - g)
+    return force.reshape((com.shape[0], 1, 3))
+
+
 def pick_result(phys_out_dir: str):
     """Choose durations > dynamics result by success_log (ref :570-595)."""
     from chd_tpu.physics.towr_io import load_success_log
@@ -121,8 +145,15 @@ if HAVE_BPY:
         bpy.ops.object.light_add(type="SUN", location=center + Vector((0, 0, 5)))
         return cam
 
-    def draw_com_and_forces(results, frame_start: int = 1, force_scale: float = 1e-3):
-        """COM sphere + per-foot force arrows keyframed per frame (ref :423-540)."""
+    def draw_com_and_forces(results, frame_start: int = 1, force_scale: float = 1e-3,
+                            feet_pos=None, feet_force=None):
+        """COM sphere + per-foot force arrows keyframed per frame (ref :423-540).
+
+        feet_pos/feet_force override the solution's own feet arrays — used by
+        the kinematic-only pass, which applies one estimated F=m(a−g) force
+        at the COM itself (viz_blender.py:637-659)."""
+        import numpy as np
+
         bpy.ops.mesh.primitive_uv_sphere_add(radius=0.05)
         com = bpy.context.active_object
         com.name = "COM"
@@ -132,16 +163,23 @@ if HAVE_BPY:
             com.location = (-p[0], -p[2], -p[1])
             com.keyframe_insert(data_path="location", frame=frame_start + f)
 
+        if feet_pos is None:
+            feet_pos = results.feet_pos
+        if feet_force is None:
+            feet_force = results.feet_force
+        feet_pos = np.asarray(feet_pos)
+        feet_force = np.asarray(feet_force)
+
         arrows = []
-        E = results.feet_pos.shape[1]
+        E = feet_pos.shape[1]
         for e in range(E):
             bpy.ops.mesh.primitive_cylinder_add(radius=0.01, depth=1.0)
             arrow = bpy.context.active_object
             arrow.name = f"force{e}"
             arrows.append(arrow)
             for f in range(F):
-                foot = results.feet_pos[f, e]
-                force = results.feet_force[f, e] * force_scale
+                foot = feet_pos[f, e]
+                force = feet_force[f, e] * force_scale
                 base = Vector((-foot[0], -foot[2], -foot[1]))
                 vec = Vector((-force[0], -force[2], -force[1]))
                 length = max(vec.length, 1e-6)
@@ -169,9 +207,30 @@ if HAVE_BPY:
             scene.render.filepath = os.path.join(out_dir, f"view{v}.mp4")
             bpy.ops.render.render(animation=True)
 
+    def _render_one_result(kin_dir, bvh_path, sol, character, fbx_path, out_dir,
+                           num_views, feet_pos=None, feet_force=None):
+        clear_scene()
+        setup_floor(os.path.join(kin_dir, "floor_out.txt"))
+        import_character(fbx_path=fbx_path, bvh_path=bvh_path,
+                         scale=CHARACTER_SCALE.get(character, 1.0))
+        draw_com_and_forces(sol, feet_pos=feet_pos, feet_force=feet_force)
+        center = Vector(tuple((-sol.base_pos.mean(axis=0))[[0, 2, 1]]))
+        radius = float(max(sol.base_pos.max(0) - sol.base_pos.min(0)) + 1.0)
+        os.makedirs(out_dir, exist_ok=True)
+        render_views(out_dir, sol.base_pos.shape[0], num_views, center, radius)
+
     def render_multiview_eval(video_dir: str, character: str, fbx_path: str,
-                              out_dir: str, num_views: int = 2):
-        """Full render of the best physics result (ref :543-660)."""
+                              out_dir: str, num_views: int = 2,
+                              kinematic_result: bool = False, fps: float = 30.0):
+        """Full render of the best physics result (ref :543-660).
+
+        kinematic_result=True adds the reference's second pass
+        (viz_blender.py:637-659): the no_dynamics (kinematic-only) motion
+        rendered with a single estimated F=m(a−g) force at the COM — the
+        paper's physics-vs-kinematics side-by-side."""
+        import numpy as np
+
+        from chd_tpu.characters import get_character
         from chd_tpu.physics.towr_io import load_results
 
         name = os.path.basename(os.path.abspath(video_dir))
@@ -180,17 +239,22 @@ if HAVE_BPY:
         label = pick_result(phys_out)
         bvh_path = os.path.join(phys_out, f"{name}_{character}_{label}.bvh")
         sol = load_results(os.path.join(phys_out, f"sol_out_{label}.txt"))
+        _render_one_result(kin, bvh_path, sol, character, fbx_path, out_dir, num_views)
 
-        clear_scene()
-        setup_floor(os.path.join(kin, "floor_out.txt"))
-        armature, _ = import_character(
-            fbx_path, bvh_path, CHARACTER_SCALE.get(character, 1.0)
-        )
-        draw_com_and_forces(sol)
-        center = Vector(tuple((-sol.base_pos.mean(axis=0))[[0, 2, 1]]))
-        radius = float(max(sol.base_pos.max(0) - sol.base_pos.min(0)) + 1.0)
-        os.makedirs(out_dir, exist_ok=True)
-        render_views(out_dir, sol.base_pos.shape[0], num_views, center, radius)
+        if kinematic_result:
+            kin_bvh = os.path.join(phys_out, f"{name}_{character}_no_dynamics.bvh")
+            kin_sol = load_results(os.path.join(phys_out, "sol_out_no_dynamics.txt"))
+            with open(os.path.join(kin, "floor_out.txt")) as f:
+                normal = [float(x) for x in f.readline().split()]
+            est_force = estimate_kinematic_forces(
+                kin_sol.base_pos, normal, get_character(character).mass, fps
+            )
+            com_as_foot = np.asarray(kin_sol.base_pos).reshape(-1, 1, 3)
+            _render_one_result(
+                kin, kin_bvh, kin_sol, character, fbx_path,
+                os.path.join(out_dir, "kinematic"), num_views,
+                feet_pos=com_as_foot, feet_force=est_force,
+            )
 
 
 def main(argv=None):

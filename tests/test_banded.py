@@ -84,6 +84,7 @@ def traj_problem():
     return parents, data, x0, F, 3 + J * 3
 
 
+@pytest.mark.slow
 def test_banded_jtj_matches_dense_jacobian(traj_problem):
     parents, data, x0, F, D = traj_problem
     w = traj_lib.STAGE2
@@ -123,6 +124,7 @@ def test_banded_jtj_matches_dense_jacobian(traj_problem):
         assert np.abs(blk).max() < 1e-8 * max(1.0, np.abs(A).max())
 
 
+@pytest.mark.slow
 def test_lm_banded_converges_like_cg(traj_problem):
     parents, data, x0, F, D = traj_problem
     w = traj_lib.STAGE1
