@@ -9,6 +9,7 @@ by replicating their last frame (all difference terms vanish on padding).
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -22,7 +23,7 @@ from . import floor as floor_lib
 from . import trajectory as traj_lib
 from .ik import IKConfig, _solve as ik_solve
 from .lm import LMConfig, frame_coloring_masks, lm_solve
-from .residuals import TrajectoryData, trajectory_residuals
+from .residuals import TrajectoryData, residual_fn_for, trajectory_residuals
 
 
 def _pad_frames(a: np.ndarray, F: int) -> np.ndarray:
@@ -30,6 +31,99 @@ def _pad_frames(a: np.ndarray, F: int) -> np.ndarray:
         return a[:F]
     reps = np.repeat(a[-1:], F - a.shape[0], axis=0)
     return np.concatenate([a, reps], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("parents", "ik_cfg", "lm_cfg"))
+def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg):
+    """The whole batched refinement — IK init → stage-1 LM → floor fit +
+    contact pruning → stage-2 LM — as ONE jitted graph.
+
+    One device dispatch per batch instead of hundreds: the eager glue
+    (vmapped IRLS floor fit, euler/quat conversions, x0 assembly) costs a
+    device round-trip per primitive, which dwarfs the solve when the device
+    sits behind a tunnel/remote coordinator (measured 47 s → ~7 s for a
+    batch-16×100-frame solve on v5e).
+    """
+    dtype = arrs["pose3d"].dtype
+    B, F = arrs["pose3d"].shape[:2]
+    J = arrs["offsets"].shape[1]
+    s2d = np.asarray(defs.COMBINED_SKEL_TO_DATA)
+    spine = set(int(s) for s in defs.COMBINED_SKEL_SPINE_JOINTS)
+    tidx = tuple(j for j in range(J) if j not in spine)
+
+    targets_b = (
+        arrs["pose3d"][:, :, jnp.asarray(s2d[list(tidx)])] + arrs["root"][:, :, None, :]
+    )  # (B, F, T, 3)
+
+    dummy = jnp.zeros((F, J, 3), dtype)
+    limits = (jnp.zeros((J * 3,), dtype), jnp.zeros((J * 3,), dtype))
+    ones = jnp.ones((J,), dtype)
+
+    def ik_one(rot0, pos0, tgt):
+        return ik_solve(
+            rot0, pos0, tgt, dummy, limits, ones, ones,
+            targets_idx=tidx, parents=parents, cfg=ik_cfg,
+            use_reference=False, use_limits=False,
+        )
+
+    rot_ik, pos_ik = jax.vmap(ik_one)(arrs["rot0"], arrs["pos0"], targets_b)
+
+    x0 = jnp.concatenate(
+        [pos_ik[:, :, 0], quat.to_euler(rot_ik, "xyz").reshape(B, F, -1)], axis=-1
+    ).reshape(B, -1)
+
+    smooth_w = jnp.asarray(defs.COMBINED_SMOOTH_WEIGHTS, dtype)
+    zero3 = jnp.zeros(3, dtype)
+
+    def make_data(i_vc, normal, point):
+        return TrajectoryData(
+            arrs["pose3d"], arrs["root"], arrs["p2dn"], arrs["pw"], arrs["dw"],
+            jnp.broadcast_to(smooth_w, (B, 28)), i_vc,
+            normal, point, arrs["offsets"], arrs["fmask"],
+        )
+
+    residual = residual_fn_for(parents)
+    masks = frame_coloring_masks(F, 3 + J * 3, dtype=dtype)
+
+    def stage(x0_b, data_b, w):
+        return jax.vmap(
+            lambda x0, d: lm_solve(residual, x0, (d, w), lm_cfg, diag_masks=masks)[0]
+        )(x0_b, data_b)
+
+    data1 = make_data(
+        arrs["vc"], jnp.broadcast_to(zero3, (B, 3)), jnp.broadcast_to(zero3, (B, 3))
+    )
+    x1 = stage(x0, data1, w1)
+
+    # batched floor fit + contact pruning
+    feet_cols = jnp.asarray(s2d[defs.COMBINED_SKEL_FEET_IDX])
+
+    def fit_one(x, offsets, vc):
+        from .residuals import data_order_positions
+
+        y, root = data_order_positions(x.reshape(F, -1), offsets, parents)
+        pts = (y + root[:, None, :])[:, feet_cols].reshape(-1, 3)
+        mask = vc[:, feet_cols].reshape(-1) == 1
+        fit = floor_lib.fit_floor(pts[:, jnp.asarray([0, 2])], pts[:, 1], mask, epsilon=1.5)
+        fit2 = floor_lib.fit_floor(pts[:, jnp.asarray([0, 2])], pts[:, 1], mask, epsilon=2.2)
+        pruned = floor_lib.prune_contacts(vc, feet_cols, fit2.outliers, mask)
+        return fit.normal, fit.point, pruned
+
+    normals, points, vc2 = jax.vmap(fit_one)(x1, arrs["offsets"], arrs["vc"])
+
+    data2 = make_data(vc2, normals, points)
+    x2 = stage(x1, data2, w2)
+
+    # batched unpack: quaternions + data-order positions for every sequence
+    # (keeps the per-sequence python loop free of device round-trips)
+    from .residuals import data_order_positions
+
+    xm = x2.reshape(B, F, -1)
+    rot_q = quat.from_euler(xm[..., 3:].reshape(B, F, J, 3), "xyz", world=True)
+    y_b, root_b = jax.vmap(
+        lambda x, o: data_order_positions(x, o, parents)
+    )(xm, arrs["offsets"])
+    return x2, normals, points, vc2, rot_q, y_b, root_b
 
 
 def optimize_trajectory_batch(
@@ -89,96 +183,36 @@ def optimize_trajectory_batch(
 
         arrs = {k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in arrs.items()}
 
-    # batched IK init (same static target set for all sequences)
-    spine = set(int(s) for s in defs.COMBINED_SKEL_SPINE_JOINTS)
-    tidx = tuple(j for j in range(J) if j not in spine)
-    targets_b = (
-        arrs["pose3d"][:, :, jnp.asarray(s2d[list(tidx)])] + arrs["root"][:, :, None, :]
-    )  # (B, F, T, 3)
-
-    ik_cfg = IKConfig(iterations=ik_iterations, damping=7.0, solver=ik_solver)
-    dummy = jnp.zeros((F, J, 3), dtype)
-    limits = (jnp.zeros((J * 3,), dtype), jnp.zeros((J * 3,), dtype))
-    ones = jnp.ones((J,), dtype)
-
-    def ik_one(rot0, pos0, tgt):
-        return ik_solve(
-            rot0, pos0, tgt, dummy, limits, ones, ones,
-            targets_idx=tidx, parents=parents, cfg=ik_cfg,
-            use_reference=False, use_limits=False,
-        )
-
-    rot_ik, pos_ik = jax.vmap(ik_one)(arrs["rot0"], arrs["pos0"], targets_b)
-
-    x0 = jnp.concatenate(
-        [pos_ik[:, :, 0], quat.to_euler(rot_ik, "xyz").reshape(B, F, -1)], axis=-1
-    ).reshape(B, -1)
-
-    smooth_w = jnp.asarray(defs.COMBINED_SMOOTH_WEIGHTS, dtype)
-    zero3 = jnp.zeros(3, dtype)
-
-    def make_data(i_vc, normal, point):
-        return TrajectoryData(
-            arrs["pose3d"], arrs["root"], arrs["p2dn"], arrs["pw"], arrs["dw"],
-            jnp.broadcast_to(smooth_w, (B, 28)), i_vc,
-            normal, point, arrs["offsets"], arrs["fmask"],
-        )
-
-    def residual(x, data, w):
-        return trajectory_residuals(x, data, w, parents)
-
-    masks = frame_coloring_masks(F, 3 + J * 3, dtype=dtype)
-
-    def stage(x0_b, data_b, w):
-        return jax.vmap(
-            lambda x0, d: lm_solve(residual, x0, (d, w), lm_cfg, diag_masks=masks)[0]
-        )(x0_b, data_b)
-
-    data1 = make_data(
-        arrs["vc"], jnp.broadcast_to(zero3, (B, 3)), jnp.broadcast_to(zero3, (B, 3))
+    x2, normals, points, vc2, rot_q, y_b, root_b = _refine_core(
+        arrs, traj_lib.STAGE1, traj_lib.STAGE2,
+        parents=parents, ik_cfg=IKConfig(
+            iterations=ik_iterations, damping=7.0, solver=ik_solver
+        ),
+        lm_cfg=lm_cfg,
     )
-    x1 = stage(x0, data1, traj_lib.STAGE1)
 
-    # batched floor fit + contact pruning
-    feet_cols = jnp.asarray(s2d[defs.COMBINED_SKEL_FEET_IDX])
-
-    def fit_one(x, offsets, vc):
-        from .residuals import data_order_positions
-
-        y, root = data_order_positions(x.reshape(F, -1), offsets, parents)
-        pts = (y + root[:, None, :])[:, feet_cols].reshape(-1, 3)
-        mask = vc[:, feet_cols].reshape(-1) == 1
-        fit = floor_lib.fit_floor(pts[:, jnp.asarray([0, 2])], pts[:, 1], mask, epsilon=1.5)
-        fit2 = floor_lib.fit_floor(pts[:, jnp.asarray([0, 2])], pts[:, 1], mask, epsilon=2.2)
-        pruned = floor_lib.prune_contacts(vc, feet_cols, fit2.outliers, mask)
-        return fit.normal, fit.point, pruned
-
-    normals, points, vc2 = jax.vmap(fit_one)(x1, arrs["offsets"], arrs["vc"])
-
-    data2 = make_data(vc2, normals, points)
-    x2 = stage(x1, data2, traj_lib.STAGE2)
-
-    # unpack per sequence
-    from .residuals import data_order_positions
-
+    # unpack per sequence (pure numpy — all device work happened in the core)
     results = []
     x2_np = np.asarray(x2)
+    rot_np = np.asarray(rot_q)
+    y_np = np.asarray(y_b)
+    root_np = np.asarray(root_b)
+    offsets_np = np.asarray(arrs["offsets"])
+    vc2_np = np.asarray(vc2)
+    normals = np.asarray(normals)
+    points = np.asarray(points)
     fx, fy = cam_focal
     cx, cy = cam_pp
     for i, L in enumerate(lens):
         xm = x2_np[i].reshape(F, -1)[:L]
-        offsets_i = np.asarray(arrs["offsets"][i])
-        rot = np.asarray(
-            quat.from_euler(jnp.asarray(xm[:, 3:].reshape(L, J, 3)), "xyz", world=True)
-        )
+        offsets_i = offsets_np[i]
+        rot = rot_np[i, :L]
         pos = np.broadcast_to(offsets_i[None], (L, J, 3)).copy()
         pos[:, 0] = xm[:, :3]
         anim = Animation(rot, pos, np.asarray(skeleton.orients), offsets_i, parents)
-        vc_i = np.asarray(vc2[i])[:L]
+        vc_i = vc2_np[i][:L]
 
-        y_i, root_i = data_order_positions(
-            jnp.asarray(xm, dtype), jnp.asarray(offsets_i, dtype), parents
-        )
+        y_i, root_i = y_np[i, :L], root_np[i, :L]
         pose3d_i = np.array(y_i + root_i[:, None, :])
         pose3d_i[:, defs.COMBINED_ROOT_IDX] = np.asarray(root_i)
         proj2d_i = np.stack(

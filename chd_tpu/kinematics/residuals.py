@@ -21,6 +21,7 @@ replaces the hand-written Jacobians at :51-322.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
@@ -61,6 +62,22 @@ class TermWeights(NamedTuple):
     data: float = 0.3
     vel: float = 10.0
     floor: float = 0.0
+
+
+@functools.lru_cache(maxsize=None)
+def residual_fn_for(parents: Tuple[int, ...]):
+    """Stable residual-fn object per skeleton topology.
+
+    lm_solve keys its jit cache on the residual_fn's identity, so callers
+    must NOT hand it a fresh closure per call — that forces a full LM
+    recompile every solve (measured ~45 s per batch-16 call on v5e vs ~4 s
+    for the actual solve). Weights ride through lm_solve's traced ``args``.
+    """
+
+    def residual(x, data, w):
+        return trajectory_residuals(x, data, w, parents)
+
+    return residual
 
 
 def data_order_positions(x, offsets, parents: Tuple[int, ...]):

@@ -178,8 +178,10 @@ def optimize_trajectory(
     data1 = make_data(vel_constraints, plane_normal if given_floor else zero3,
                       plane_point if given_floor else zero3)
 
-    def residual(x, data, w):
-        return trajectory_residuals(x, data, w, parents)
+    from .residuals import residual_fn_for
+
+    residual = residual_fn_for(tuple(parents))  # stable fn identity so the
+    # lm_solve jit cache survives across calls (fresh closures recompile)
 
     from .lm import frame_coloring_masks
 

@@ -1,0 +1,294 @@
+"""Frame-axis sharding for single long sequences (SURVEY §5 item (b)).
+
+Batching (parallel/batch.py) scales ACROSS sequences; this module scales
+ONE sequence across devices by sharding the frame axis with shard_map +
+halo exchange. The trajectory objective couples frames at stencil width ≤ 2
+(acceleration smoothness spans 3 consecutive frames,
+kinematics/residuals.py:119-121), so each shard only ever needs
+``HALO = 2`` boundary frames from each neighbor — nearest-neighbor
+``lax.ppermute`` rides the ICI ring; the only other collectives are scalar
+``psum``s for CG dot products and the LM cost.
+
+Design (permutation-invariant residuals): LM/CG never needs the globally
+ordered residual vector — only ‖r‖², Jᵀr and JᵀJ·v, all invariant to row
+order. Each shard evaluates the UNMODIFIED trajectory_residuals on its
+halo-extended frame window and zeroes every row whose anchor frame it does
+not own (difference rows anchor at their first frame). The union over
+shards is then exactly the global residual set, and autodiff through the
+local evaluation plus a reverse halo exchange of boundary gradients gives
+exact global Jᵀr / JᵀJ·v.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kinematics.lm import LMConfig
+from ..kinematics.residuals import TermWeights, TrajectoryData, trajectory_residuals
+
+HALO = 2  # max |f−f'| coupled by any residual row (acceleration term)
+
+
+def _exchange_halos(x_own, axis: str):
+    """(F_loc, ...) → (F_loc + 2·HALO, ...) with neighbours' boundary frames.
+
+    Ring ppermute; at sequence ends the wrapped frames are garbage but are
+    always killed by the global frame mask / ownership mask.
+    """
+    n = jax.lax.psum(1, axis)
+    right = [(i, (i + 1) % n) for i in range(n)]
+    left = [(i, (i - 1) % n) for i in range(n)]
+    from_left = jax.lax.ppermute(x_own[-HALO:], axis, right)   # my left halo
+    from_right = jax.lax.ppermute(x_own[:HALO], axis, left)    # my right halo
+    return jnp.concatenate([from_left, x_own, from_right], axis=0)
+
+
+def _return_halos(g_ext, axis: str):
+    """Adjoint of _exchange_halos: fold halo-frame gradients back onto their
+    owners. g_ext (F_loc+2·HALO, ...) → g_own (F_loc, ...)."""
+    n = jax.lax.psum(1, axis)
+    right = [(i, (i + 1) % n) for i in range(n)]
+    left = [(i, (i - 1) % n) for i in range(n)]
+    g_own = g_ext[HALO:-HALO]
+    to_left = jax.lax.ppermute(g_ext[:HALO], axis, left)     # belongs to left nbr's tail
+    to_right = jax.lax.ppermute(g_ext[-HALO:], axis, right)  # right nbr's head
+    g_own = g_own.at[-HALO:].add(to_left)
+    g_own = g_own.at[:HALO].add(to_right)
+    return g_own
+
+
+def _ownership_mask(F_ext: int, Jd: int, n_euler: int, dtype):
+    """Flat 0/1 mask over trajectory_residuals' output for an extended
+    window, keeping rows anchored in the owned interior [HALO, F_ext-HALO).
+
+    Block layout (kinematics/residuals.py:140-149): proj (F,28,2),
+    vel-smooth (F-1,28,3), acc-smooth (F-2,28,3), data (F,28,3),
+    contact-vel (F-1,28,3), floor (F,28), euler-smooth (F-1,n_euler,3).
+    Difference rows anchor at their FIRST frame.
+    """
+    own = np.zeros(F_ext, np.float32)
+    own[HALO : F_ext - HALO] = 1.0
+    own_pair = own[:-1]          # row f uses frames (f, f+1)
+    own_triple = own[:-2]        # row f uses frames (f, f+1, f+2)
+    parts = [
+        np.repeat(own, Jd * 2),
+        np.repeat(own_pair, Jd * 3),
+        np.repeat(own_triple, Jd * 3),
+        np.repeat(own, Jd * 3),
+        np.repeat(own_pair, Jd * 3),
+        np.repeat(own, Jd),
+        np.repeat(own_pair, n_euler * 3),
+    ]
+    return jnp.asarray(np.concatenate(parts), dtype)
+
+
+def _pad_frames_to(n_shards: int, *arrs, frame_mask):
+    """Pad the frame axis to a multiple of n_shards; extend frame_mask with
+    zeros so padding contributes nothing."""
+    F = arrs[0].shape[0]
+    F_pad = ((F + n_shards - 1) // n_shards) * n_shards
+    if F_pad == F:
+        return arrs, frame_mask, F_pad
+    pad = F_pad - F
+
+    def pad_one(a):
+        reps = np.concatenate([np.asarray(a), np.repeat(np.asarray(a[-1:]), pad, axis=0)], axis=0)
+        return reps
+
+    fm = np.concatenate([np.asarray(frame_mask), np.zeros(pad, np.float32)])
+    return tuple(pad_one(a) for a in arrs), fm, F_pad
+
+
+def lm_solve_frame_sharded(
+    x0: np.ndarray,
+    data: TrajectoryData,
+    w: TermWeights,
+    parents: Tuple[int, ...],
+    mesh: Mesh,
+    axis: str = "data",
+    cfg: LMConfig = LMConfig(),
+    dtype=jnp.float32,
+):
+    """LM over one sequence with the FRAME axis sharded over ``mesh[axis]``.
+
+    x0: (F, D) per-frame variables; data: unbatched TrajectoryData.
+    Returns (x (F, D) ndarray, final cost). Exact same math as
+    kinematics.lm.lm_solve with diag coloring — verified element-wise by
+    tests/test_longseq.py — but every residual/JVP/VJP pass touches only
+    F/n_shards frames per device, and inter-device traffic is 2 frames of
+    halo per neighbor per pass.
+    """
+    n_shards = mesh.shape[axis]
+    F, D = x0.shape
+    Jd = data.pose3d.shape[1]
+    fm0 = np.ones(F, np.float32) if data.frame_mask is None else np.asarray(data.frame_mask)
+
+    (x0_p, pose3d, root_trans, p2d, pw, dw, vc), fm, F_pad = _pad_frames_to(
+        n_shards,
+        np.asarray(x0), np.asarray(data.pose3d), np.asarray(data.root_trans),
+        np.asarray(data.pose2d_norm), np.asarray(data.proj_weights),
+        np.asarray(data.data_weights), np.asarray(data.vel_constraints),
+        frame_mask=fm0,
+    )
+    # padded frames get zero weights and zero mask (no residuals at all)
+    zw = fm[:, None]
+    data_p = TrajectoryData(
+        jnp.asarray(pose3d, dtype), jnp.asarray(root_trans, dtype),
+        jnp.asarray(p2d, dtype), jnp.asarray(pw * zw, dtype),
+        jnp.asarray(dw * zw, dtype), jnp.asarray(data.smooth_weights, dtype),
+        jnp.asarray(vc * zw, dtype), jnp.asarray(data.floor_normal, dtype),
+        jnp.asarray(data.floor_point, dtype), jnp.asarray(data.offsets, dtype),
+        jnp.asarray(fm, dtype),
+    )
+
+    F_loc = F_pad // n_shards
+    F_ext = F_loc + 2 * HALO
+    n_euler = D // 3  # euler-smooth block includes root translation rows
+    own_mask_flat = _ownership_mask(F_ext, Jd, n_euler, dtype)
+
+    # coloring masks for the exact diag(JᵀJ): global pattern, but since the
+    # color period (HALO+1=3) tiles the frame axis, each shard can use the
+    # same local pattern offset by its global start frame
+    C = HALO + 1
+
+    shard_spec = P(axis)
+    rep = P()
+
+    def local_residual(x_ext, d_ext, fm_ext):
+        d_loc = TrajectoryData(
+            d_ext["pose3d"], d_ext["root"], d_ext["p2d"], d_ext["pw"],
+            d_ext["dw"], data_p.smooth_weights, d_ext["vc"],
+            data_p.floor_normal, data_p.floor_point, data_p.offsets, fm_ext,
+        )
+        r = trajectory_residuals(x_ext.reshape(-1), d_loc, w, parents)
+        return r * own_mask_flat
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(shard_spec, shard_spec, shard_spec),
+        out_specs=(shard_spec, rep),
+        check_rep=False,
+    )
+    def solve(x_own, d_own, fm_own):
+        def extend(t):
+            return jax.tree.map(lambda a: _exchange_halos(a, axis), t)
+
+        def res_own(x_o):
+            x_ext = _exchange_halos(x_o, axis)
+            return local_residual(x_ext, extend(d_own), _exchange_halos(fm_own, axis))
+
+        def grad_fn(x_o, r):
+            # vjp through the extended window, halo grads returned to owners
+            x_ext = _exchange_halos(x_o, axis)
+            d_ext = extend(d_own)
+            fm_ext = _exchange_halos(fm_own, axis)
+            _, vjp = jax.vjp(lambda xe: local_residual(xe, d_ext, fm_ext), x_ext)
+            return _return_halos(vjp(r)[0], axis)
+
+        def jtjv(x_o, v_o):
+            x_ext = _exchange_halos(x_o, axis)
+            v_ext = _exchange_halos(v_o, axis)
+            d_ext = extend(d_own)
+            fm_ext = _exchange_halos(fm_own, axis)
+            f = lambda xe: local_residual(xe, d_ext, fm_ext)
+            _, Jv = jax.jvp(f, (x_ext,), (v_ext,))
+            _, vjp = jax.vjp(f, x_ext)
+            return _return_halos(vjp(Jv)[0], axis)
+
+        def cost(x_o):
+            r = res_own(x_o)
+            return 0.5 * jax.lax.psum(jnp.vdot(r, r), axis)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), axis)
+
+        # local coloring masks (global pattern is period-C along frames, so
+        # every shard's local offset pattern yields exact diagonals as long
+        # as shards evaluate with halos — cross terms still vanish)
+        my_start = jax.lax.axis_index(axis) * F_loc
+        frames_loc = my_start + jnp.arange(F_loc)
+
+        def diag_of(x_o):
+            def one(d, c):
+                m = ((frames_loc % C) == c).astype(x_o.dtype)[:, None] * (
+                    jnp.arange(D) == d
+                ).astype(x_o.dtype)[None, :]
+                return m * jtjv(x_o, m)
+
+            ds, cs = jnp.meshgrid(jnp.arange(D), jnp.arange(C), indexing="ij")
+            pairs = jnp.stack([ds.reshape(-1), cs.reshape(-1)], 1)
+            contrib = jax.lax.map(
+                lambda p: one(p[0], p[1]), pairs,
+                batch_size=min(64, D * C),
+            )
+            return contrib.sum(0)
+
+        def step(state, _):
+            x, lam, c = state
+            r = res_own(x)
+            g = grad_fn(x, r)
+            diag = diag_of(x)
+            scale = jnp.maximum(diag, cfg.diag_floor)
+
+            def matvec(v):
+                return jtjv(x, v) + lam * scale * v
+
+            inv_diag = 1.0 / (scale * (1.0 + lam))
+            # PCG with psum'd dots
+            b = -g
+            xk = jnp.zeros_like(b)
+            rk = b
+            zk = inv_diag * rk
+            pk = zk
+            rz = pdot(rk, zk)
+
+            def cg_body(_, s):
+                xk, rk, zk, pk, rz = s
+                Ap = matvec(pk)
+                denom = pdot(pk, Ap)
+                alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
+                xk = xk + alpha * pk
+                rk = rk - alpha * Ap
+                zk = inv_diag * rk
+                rz_new = pdot(rk, zk)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                pk = zk + beta * pk
+                return xk, rk, zk, pk, rz_new
+
+            xk, *_ = jax.lax.fori_loop(0, cfg.cg_iters, cg_body, (xk, rk, zk, pk, rz))
+            x_new = x + xk
+            c_new = cost(x_new)
+            accept = c_new < c
+            x = jnp.where(accept, x_new, x)
+            c = jnp.where(accept, c_new, c)
+            lam = jnp.clip(
+                jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+                cfg.min_lambda, cfg.max_lambda,
+            )
+            return (x, lam, c), c
+
+        init = (x_own, jnp.asarray(cfg.init_lambda, x_own.dtype), cost(x_own))
+        (x, _, c), _ = jax.lax.scan(step, init, None, length=cfg.max_iters)
+        return x, c
+
+    d_own = {
+        "pose3d": data_p.pose3d, "root": data_p.root_trans, "p2d": data_p.pose2d_norm,
+        "pw": data_p.proj_weights, "dw": data_p.data_weights, "vc": data_p.vel_constraints,
+    }
+    put = lambda t, s: jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, s)), t
+    )
+    x_sh = put(jnp.asarray(x0_p, dtype), shard_spec)
+    d_sh = put(d_own, shard_spec)
+    fm_sh = put(data_p.frame_mask, shard_spec)
+
+    x_out, c = solve(x_sh, d_sh, fm_sh)
+    return np.asarray(x_out)[:F], float(c)
