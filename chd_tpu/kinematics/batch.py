@@ -33,8 +33,10 @@ def _pad_frames(a: np.ndarray, F: int) -> np.ndarray:
     return np.concatenate([a, reps], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("parents", "ik_cfg", "lm_cfg"))
-def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg):
+@functools.partial(
+    jax.jit, static_argnames=("parents", "ik_cfg", "lm_cfg", "lm_solver")
+)
+def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg, lm_solver="pcg"):
     """The whole batched refinement — IK init → stage-1 LM → floor fit +
     contact pruning → stage-2 LM — as ONE jitted graph.
 
@@ -83,11 +85,17 @@ def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg):
         )
 
     residual = residual_fn_for(parents)
-    masks = frame_coloring_masks(F, 3 + J * 3, dtype=dtype)
+    if lm_solver == "banded":
+        # exact block-pentadiagonal direct solve (kinematics/banded.py):
+        # one batched JtJ band extraction + block-Thomas scan per LM step
+        # instead of cg_iters sequential JVP+VJP passes
+        kw = dict(banded_spec=(F, 3 + J * 3))
+    else:
+        kw = dict(diag_masks=frame_coloring_masks(F, 3 + J * 3, dtype=dtype))
 
     def stage(x0_b, data_b, w):
         return jax.vmap(
-            lambda x0, d: lm_solve(residual, x0, (d, w), lm_cfg, diag_masks=masks)[0]
+            lambda x0, d: lm_solve(residual, x0, (d, w), lm_cfg, **kw)[0]
         )(x0_b, data_b)
 
     data1 = make_data(
@@ -139,6 +147,8 @@ def optimize_trajectory_batch(
     # (200-iter batch-16 IK: 0.74s cg vs 13.9s lu — the lax.map'd LU chunks
     # serialize; CG's batched 84x84 matvecs stay on the MXU). "lu" remains
     # available for bit-exactness vs the reference's per-frame lu_solve.
+    lm_solver: str = "pcg",  # "banded" = exact block-pentadiagonal direct
+    # inner solve (see kinematics/banded.py)
 ) -> List[traj_lib.TrajectoryResult]:
     """problems: per-sequence dicts with keys pose2d (F,28,2), conf2d (F,28),
     pose3d (F,28,3), root_pos (F,3), smpl_angles (F,J,3),
@@ -188,7 +198,7 @@ def optimize_trajectory_batch(
         parents=parents, ik_cfg=IKConfig(
             iterations=ik_iterations, damping=7.0, solver=ik_solver
         ),
-        lm_cfg=lm_cfg,
+        lm_cfg=lm_cfg, lm_solver=lm_solver,
     )
 
     # unpack per sequence (pure numpy — all device work happened in the core)

@@ -27,7 +27,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kinematics.lm import LMConfig
@@ -64,29 +64,38 @@ def _return_halos(g_ext, axis: str):
     return g_own
 
 
-def _ownership_mask(F_ext: int, Jd: int, n_euler: int, dtype):
+def _ownership_mask(my_start, F_ext: int, F_pad: int, Jd: int, n_euler: int, dtype):
     """Flat 0/1 mask over trajectory_residuals' output for an extended
-    window, keeping rows anchored in the owned interior [HALO, F_ext-HALO).
+    window, keeping rows anchored in the owned interior [HALO, F_ext-HALO)
+    that also EXIST in the global problem.
 
-    Block layout (kinematics/residuals.py:140-149): proj (F,28,2),
+    Block layout (kinematics/residuals.py:118-155): proj (F,28,2),
     vel-smooth (F-1,28,3), acc-smooth (F-2,28,3), data (F,28,3),
     contact-vel (F-1,28,3), floor (F,28), euler-smooth (F-1,n_euler,3).
     Difference rows anchor at their FIRST frame.
+
+    Global-existence gating matters at the sequence END: the last shard's
+    ring halo wraps to shard 0's first frames (with frame_mask 1), so a
+    local pair/triple row anchored at the last global frame(s) would
+    otherwise evaluate against wrapped garbage — a row the global residual
+    doesn't have. Pair rows exist iff anchor ≤ F_pad−2, triple rows iff
+    anchor ≤ F_pad−3.
     """
-    own = np.zeros(F_ext, np.float32)
-    own[HALO : F_ext - HALO] = 1.0
-    own_pair = own[:-1]          # row f uses frames (f, f+1)
-    own_triple = own[:-2]        # row f uses frames (f, f+1, f+2)
+    pos = jnp.arange(F_ext)
+    g = my_start - HALO + pos  # global frame index of each extended position
+    own = ((pos >= HALO) & (pos < F_ext - HALO)).astype(dtype)
+    own_pair = own[:-1] * (g[:-1] <= F_pad - 2).astype(dtype)
+    own_triple = own[:-2] * (g[:-2] <= F_pad - 3).astype(dtype)
     parts = [
-        np.repeat(own, Jd * 2),
-        np.repeat(own_pair, Jd * 3),
-        np.repeat(own_triple, Jd * 3),
-        np.repeat(own, Jd * 3),
-        np.repeat(own_pair, Jd * 3),
-        np.repeat(own, Jd),
-        np.repeat(own_pair, n_euler * 3),
+        jnp.repeat(own, Jd * 2),
+        jnp.repeat(own_pair, Jd * 3),
+        jnp.repeat(own_triple, Jd * 3),
+        jnp.repeat(own, Jd * 3),
+        jnp.repeat(own_pair, Jd * 3),
+        jnp.repeat(own, Jd),
+        jnp.repeat(own_pair, n_euler * 3),
     ]
-    return jnp.asarray(np.concatenate(parts), dtype)
+    return jnp.concatenate(parts)
 
 
 def _pad_frames_to(n_shards: int, *arrs, frame_mask):
@@ -106,7 +115,31 @@ def _pad_frames_to(n_shards: int, *arrs, frame_mask):
     return tuple(pad_one(a) for a in arrs), fm, F_pad
 
 
-def lm_solve_frame_sharded(
+def probe_grad_diag(
+    x0: np.ndarray,
+    data: TrajectoryData,
+    w: TermWeights,
+    parents: Tuple[int, ...],
+    mesh: Mesh,
+    axis: str = "data",
+    dtype=jnp.float32,
+):
+    """(cost, Jᵀr, diag(JᵀJ)) at x0 from the sharded evaluation — the LM
+    step's linear-algebra building blocks, for element-wise equality tests
+    against the single-device path (the full iterate sequence is chaotic on
+    ill-conditioned problems, these are not)."""
+    cfg = LMConfig(max_iters=0, cg_iters=1)
+    _, _, aux = _solve_impl(x0, data, w, parents, mesh, axis, cfg, dtype,
+                            want_probe=True)
+    return aux
+
+
+def lm_solve_frame_sharded(*args, **kwargs):
+    x, c, _ = _solve_impl(*args, **kwargs)
+    return x, c
+
+
+def _solve_impl(
     x0: np.ndarray,
     data: TrajectoryData,
     w: TermWeights,
@@ -115,6 +148,7 @@ def lm_solve_frame_sharded(
     axis: str = "data",
     cfg: LMConfig = LMConfig(),
     dtype=jnp.float32,
+    want_probe: bool = False,
 ):
     """LM over one sequence with the FRAME axis sharded over ``mesh[axis]``.
 
@@ -151,7 +185,6 @@ def lm_solve_frame_sharded(
     F_loc = F_pad // n_shards
     F_ext = F_loc + 2 * HALO
     n_euler = D // 3  # euler-smooth block includes root translation rows
-    own_mask_flat = _ownership_mask(F_ext, Jd, n_euler, dtype)
 
     # coloring masks for the exact diag(JᵀJ): global pattern, but since the
     # color period (HALO+1=3) tiles the frame axis, each shard can use the
@@ -161,7 +194,7 @@ def lm_solve_frame_sharded(
     shard_spec = P(axis)
     rep = P()
 
-    def local_residual(x_ext, d_ext, fm_ext):
+    def local_residual(x_ext, d_ext, fm_ext, own_mask_flat):
         d_loc = TrajectoryData(
             d_ext["pose3d"], d_ext["root"], d_ext["p2d"], d_ext["pw"],
             d_ext["dw"], data_p.smooth_weights, d_ext["vc"],
@@ -174,23 +207,31 @@ def lm_solve_frame_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(shard_spec, shard_spec, shard_spec),
-        out_specs=(shard_spec, rep),
-        check_rep=False,
+        out_specs=(shard_spec, rep, shard_spec, shard_spec)
+        if want_probe else (shard_spec, rep),
+        check_vma=False,
     )
     def solve(x_own, d_own, fm_own):
+        my_start = jax.lax.axis_index(axis) * F_loc
+        own_mask = _ownership_mask(my_start, F_ext, F_pad, Jd, n_euler, dtype)
+
         def extend(t):
             return jax.tree.map(lambda a: _exchange_halos(a, axis), t)
 
         def res_own(x_o):
             x_ext = _exchange_halos(x_o, axis)
-            return local_residual(x_ext, extend(d_own), _exchange_halos(fm_own, axis))
+            return local_residual(
+                x_ext, extend(d_own), _exchange_halos(fm_own, axis), own_mask
+            )
 
         def grad_fn(x_o, r):
             # vjp through the extended window, halo grads returned to owners
             x_ext = _exchange_halos(x_o, axis)
             d_ext = extend(d_own)
             fm_ext = _exchange_halos(fm_own, axis)
-            _, vjp = jax.vjp(lambda xe: local_residual(xe, d_ext, fm_ext), x_ext)
+            _, vjp = jax.vjp(
+                lambda xe: local_residual(xe, d_ext, fm_ext, own_mask), x_ext
+            )
             return _return_halos(vjp(r)[0], axis)
 
         def jtjv(x_o, v_o):
@@ -198,7 +239,7 @@ def lm_solve_frame_sharded(
             v_ext = _exchange_halos(v_o, axis)
             d_ext = extend(d_own)
             fm_ext = _exchange_halos(fm_own, axis)
-            f = lambda xe: local_residual(xe, d_ext, fm_ext)
+            f = lambda xe: local_residual(xe, d_ext, fm_ext, own_mask)
             _, Jv = jax.jvp(f, (x_ext,), (v_ext,))
             _, vjp = jax.vjp(f, x_ext)
             return _return_halos(vjp(Jv)[0], axis)
@@ -213,7 +254,6 @@ def lm_solve_frame_sharded(
         # local coloring masks (global pattern is period-C along frames, so
         # every shard's local offset pattern yields exact diagonals as long
         # as shards evaluate with halos — cross terms still vanish)
-        my_start = jax.lax.axis_index(axis) * F_loc
         frames_loc = my_start + jnp.arange(F_loc)
 
         def diag_of(x_o):
@@ -275,6 +315,15 @@ def lm_solve_frame_sharded(
             )
             return (x, lam, c), c
 
+        if want_probe:
+            r0 = res_own(x_own)
+            return (
+                x_own,
+                0.5 * jax.lax.psum(jnp.vdot(r0, r0), axis),
+                grad_fn(x_own, r0),
+                diag_of(x_own),
+            )
+
         init = (x_own, jnp.asarray(cfg.init_lambda, x_own.dtype), cost(x_own))
         (x, _, c), _ = jax.lax.scan(step, init, None, length=cfg.max_iters)
         return x, c
@@ -290,5 +339,10 @@ def lm_solve_frame_sharded(
     d_sh = put(d_own, shard_spec)
     fm_sh = put(data_p.frame_mask, shard_spec)
 
+    if want_probe:
+        _, c, g, diag = solve(x_sh, d_sh, fm_sh)
+        return None, float(c), (
+            float(c), np.asarray(g)[:F], np.asarray(diag)[:F]
+        )
     x_out, c = solve(x_sh, d_sh, fm_sh)
-    return np.asarray(x_out)[:F], float(c)
+    return np.asarray(x_out)[:F], float(c), None

@@ -1,10 +1,23 @@
 """Frame-axis sharded LM (parallel/longseq.py) equals the single-device
-solve: same residual math through halo exchange + ownership masking, same
-iterates — checked element-wise on the virtual 8-CPU mesh."""
+solve: same residual math through halo exchange + ownership masking —
+checked element-wise on the virtual 8-CPU mesh.
+
+Equality strategy: the LM building blocks (cost, Jᵀr, diag(JᵀJ)) are checked
+to near machine precision via ``probe_grad_diag`` — they are order-invariant
+sums and must match exactly. Full multi-iteration iterate equality is only
+meaningful where the trajectory is not chaotic: on an ill-conditioned
+random problem, psum'd CG dots round differently than the global vdot and a
+borderline accept/reject can fork the paths (~50% cost differences from
+~1e-7 seeds, same effect as the cm-scale CK-IK golden in test_goldens.py).
+The solve-level test therefore runs heavily damped (large init_lambda), where
+the step is near-gradient-descent and the comparison is stable.
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # shard_map autodiff graphs compile slowly
 
 from chd_tpu.characters import defs
 from chd_tpu.core import bvh
@@ -26,6 +39,7 @@ def make_problem(F, dtype=jnp.float32, seed=3):
     pose3d = rng.normal(size=(F, 28, 3)).astype(np.float32) * 0.3
     root = (rng.normal(size=(F, 3)) + np.array([0, 0, 4.0])).astype(np.float32)
     conf = np.ones((F, 28), np.float32)
+    np_dtype = np.dtype(jnp.dtype(dtype))
     conf[:, 25:] = 0
     data = TrajectoryData(
         pose3d=jnp.asarray(pose3d, dtype),
@@ -41,30 +55,73 @@ def make_problem(F, dtype=jnp.float32, seed=3):
         floor_point=jnp.asarray([0.0, 0.9, 0.0], dtype),
         offsets=jnp.asarray(skel.offsets * 0.01, dtype),
     )
-    x0 = (rng.normal(size=(F, D)) * 0.05).astype(np.float32)
+    x0 = (rng.normal(size=(F, D)) * 0.05).astype(np_dtype)
     return x0, data, tuple(skel.parents)
 
 
 @pytest.mark.parametrize("F", [24, 23])  # even split and ragged (pad) split
 def test_sharded_lm_matches_single_device(F):
+    """Damped-regime iterate equality in f64 (see module docstring)."""
     w = TermWeights(floor=10.0)
-    cfg = LMConfig(max_iters=4, cg_iters=15, init_lambda=1e-2)
-    x0, data, parents = make_problem(F)
+    cfg = LMConfig(max_iters=4, cg_iters=15, init_lambda=1e2)
+    x0, data, parents = make_problem(F, dtype=jnp.float64)
     mesh = mesh_lib.make_mesh(n_devices=4, model=1)
 
     x_sh, c_sh = longseq.lm_solve_frame_sharded(
-        x0, data, w, parents, mesh, axis="data", cfg=cfg
+        x0, data, w, parents, mesh, axis="data", cfg=cfg, dtype=jnp.float64
     )
 
     D = x0.shape[1]
-    masks = frame_coloring_masks(F, D)
+    masks = frame_coloring_masks(F, D, dtype=jnp.float64)
     residual = residual_fn_for(parents)
     x_ref, c_ref = lm_solve(
-        residual, jnp.asarray(x0.reshape(-1)), (data, w), cfg, diag_masks=masks
+        residual, jnp.asarray(x0.reshape(-1), jnp.float64), (data, w), cfg,
+        diag_masks=masks,
     )
-    np.testing.assert_allclose(float(c_sh), float(c_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(c_sh), float(c_ref), rtol=1e-9)
     np.testing.assert_allclose(
-        x_sh.reshape(-1), np.asarray(x_ref), atol=5e-4,
+        x_sh.reshape(-1), np.asarray(x_ref), rtol=0.0, atol=1e-5,
+        err_msg="sharded LM iterates diverged from single-device",
+        # psum'd CG dots round differently than the global vdot; over 4
+        # damped iterations the f64 drift stays ≲1e-6 on O(0.05) variables
+    )
+
+
+def test_sharded_grad_diag_exact():
+    """Jᵀr and diag(JᵀJ) from the sharded evaluation equal the global
+    computation to near machine precision (order-invariant building blocks;
+    this is the real equality claim behind the sharded solver)."""
+    w = TermWeights(floor=10.0)
+    x0, data, parents = make_problem(12, dtype=jnp.float64, seed=5)
+    mesh = mesh_lib.make_mesh(n_devices=4, model=1)
+    c_sh, g_sh, diag_sh = longseq.probe_grad_diag(
+        x0, data, w, parents, mesh, axis="data", dtype=jnp.float64
+    )
+
+    F, D = x0.shape
+    xf = jnp.asarray(x0.reshape(-1), jnp.float64)
+    residual = residual_fn_for(parents)
+    res = lambda x: residual(x, data, w)
+    r = res(xf)
+    c_ref = 0.5 * float(jnp.vdot(r, r))
+    _, vjp = jax.vjp(res, xf)
+    g_ref = np.asarray(vjp(r)[0])
+
+    def jtjv(v):
+        _, Jv = jax.jvp(res, (xf,), (v,))
+        return vjp(Jv)[0]
+
+    masks = frame_coloring_masks(F, D, dtype=jnp.float64)
+    diag_ref = np.asarray(sum(m * jtjv(m) for m in masks))
+
+    np.testing.assert_allclose(float(c_sh), c_ref, rtol=1e-12)
+    scale_g = np.abs(g_ref).max()
+    np.testing.assert_allclose(
+        g_sh.reshape(-1) / scale_g, g_ref / scale_g, atol=1e-10
+    )
+    scale_d = np.abs(diag_ref).max()
+    np.testing.assert_allclose(
+        diag_sh.reshape(-1) / scale_d, diag_ref / scale_d, atol=1e-10
     )
 
 
