@@ -24,29 +24,62 @@ def walking_input(F: int, dt: float = 1.0 / 30.0, seed: int = 0):
     rng = np.random.default_rng(seed)
     t = np.arange(F) * dt
     speed = 1.2
+    # lateral sway toward the stance foot (real gait does this; without it
+    # single support at y=±0.1 with the COM on the midline is dynamically
+    # inconsistent — a same-y toe/heel pair has no roll authority — and the
+    # solver would be forced to drag stance feet toward the midline).
+    # Left single support is t mod 1 ∈ [0.15, 0.5) (right foot swinging),
+    # so the sway peaks toward +y at t=0.325; one full sway per 1 s cycle.
+    # Amplitude from inverted-pendulum consistency ÿ ≈ (g/z̄)(y − y_foot)
+    # with y_foot = ±0.1 square-wave (fundamental 4/π·0.1): at ω = 2π rad/s,
+    # A(ω² + g/z̄) = (g/z̄)(4/π)0.1 → A ≈ 0.027 m.
+    sway = 0.027 * np.cos(2 * np.pi * (t - 0.325))
     base_lin = np.stack([
-        speed * t, np.zeros(F), 0.95 + 0.02 * np.sin(2 * np.pi * 1.6 * t)
+        speed * t, sway, 0.95 + 0.02 * np.sin(2 * np.pi * 1.6 * t)
     ], axis=1)
     base_ang = np.zeros((F, 3))
     base_ang[:, 2] = 0.05 * np.sin(2 * np.pi * 0.8 * t)
 
-    period = int(round(0.5 / dt))  # ~0.5 s per step
+    # gait schedule with DOUBLE SUPPORT (duty factor 0.65, 1 s cycle): with
+    # strictly alternating single support the center of pressure is confined
+    # to one foot's heel–toe segment while the COM sweeps ±0.3 m past it —
+    # no consistent CoP exists near stance edges and the solver must shift
+    # feet forward. Overlapping stances let the CoP hand over, as real gait
+    # does.
+    cyc = t % 1.0
+    left_stance = cyc < 0.65
+    right_stance = ((cyc + 0.5) % 1.0) < 0.65
     contact = np.ones((4, F))
-    for f in range(F):
-        ph = (f // period) % 2
-        if ph == 0:
-            contact[[1, 3], f] = 0.0  # right foot (toe+heel) swings
-        else:
-            contact[[0, 2], f] = 0.0
+    contact[0] = contact[2] = left_stance.astype(float)
+    contact[1] = contact[3] = right_stance.astype(float)
     contact[:, :3] = 1.0
     contact[:, -3:] = 1.0
 
+    # stance-consistent foot trajectories: a foot is STATIONARY while in
+    # contact (otherwise the solver's no-slip constraint cannot track the
+    # input and "error vs input" measures the input's own foot sliding, not
+    # solver quality). Each stance holds the position under the COM at
+    # MID-stance — heel-strike ahead of the COM, toe-off behind, as in real
+    # gait — keeping hip→toe/heel distances inside the leg-length bounds for
+    # the whole phase.
     ee = np.zeros((4, F, 3))
     side_y = np.array([0.1, -0.1, 0.1, -0.1])
     heel_dx = np.array([0.0, 0.0, -0.2, -0.2])
     for e in range(4):
-        x = speed * t + heel_dx[e]
-        z = np.where(contact[e] > 0, 0.0, 0.06)
+        c = contact[e]
+        # stance intervals [a, b)
+        bounds = np.flatnonzero(np.diff(np.concatenate([[0.0], c, [0.0]])))
+        stances = [(bounds[i], bounds[i + 1]) for i in range(0, len(bounds), 2)]
+        x = np.empty(F)
+        z = np.zeros(F)
+        holds = [heel_dx[e] + speed * t[(a + b - 1) // 2] for a, b in stances]
+        for (a, b), h in zip(stances, holds):
+            x[a:b] = h
+        for k in range(len(stances) - 1):  # swings between stances
+            f0, f1 = stances[k][1], stances[k + 1][0]
+            s = np.linspace(0.0, 1.0, f1 - f0 + 2)[1:-1]
+            x[f0:f1] = holds[k] + (holds[k + 1] - holds[k]) * s
+            z[f0:f1] = 0.06 * np.sin(np.pi * s)
         ee[e] = np.stack([x, np.full(F, side_y[e]), z], axis=1)
 
     inertia = np.tile(np.eye(3) * 8.0, (F, 1, 1))
