@@ -53,8 +53,11 @@ KIN_BATCH = 16
 KIN_FRAMES = 100
 
 # measured by benchmarks/ref_kinematic_baseline.py on this image's CPU
-# (reference code imported from /root/reference; see BASELINE.md)
-REF_KINEMATIC_SEC_PER_SEQ = float(os.environ.get("CHD_REF_KIN_SEC", "0") or 0) or None
+# (reference code imported from /root/reference; see BASELINE.md): at
+# F=100 the reference's own stage-1 least_squares did NOT finish within a
+# 90-minute budget (IK init alone: 8.5 s), so 5400 s/seq is a conservative
+# LOWER BOUND on its per-sequence cost.
+REF_KINEMATIC_SEC_PER_SEQ = float(os.environ.get("CHD_REF_KIN_SEC", "5400.0"))
 REF_PHYSICS_SEC_PER_SEQ = float(os.environ.get("CHD_REF_PHYS_SEC", "60.0"))
 
 
