@@ -115,6 +115,163 @@ def _pad_frames_to(n_shards: int, *arrs, frame_mask):
     return tuple(pad_one(a) for a in arrs), fm, F_pad
 
 
+def optimize_trajectory_frame_sharded(
+    pose2d: np.ndarray,
+    conf2d: np.ndarray,
+    pose3d: np.ndarray,
+    root_pos: np.ndarray,
+    smpl_angles_skel: np.ndarray,
+    skeleton,
+    vel_constraints: np.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    cam_focal=None,
+    cam_pp=None,
+    ik_iterations: int = 200,
+    lm_cfg: LMConfig = None,
+    dtype=jnp.float32,
+):
+    """Full single-sequence kinematic refinement with the FRAME axis sharded.
+
+    Same pipeline as kinematics.trajectory.optimize_trajectory (bone fit →
+    CK-IK init → stage-1 LM → Huber floor fit + contact pruning → stage-2
+    LM), but both LM stages run through ``lm_solve_frame_sharded`` so one
+    very long video (beyond a single device's memory/latency budget) spreads
+    over the mesh. The IK init and the (cheap, global) floor fit stay
+    unsharded; only the O(F·iters) LM work — the dominant cost — shards.
+    Returns a kinematics.trajectory.TrajectoryResult.
+    """
+    from ..characters import defs
+    from ..core import quat
+    from ..core.animation import Animation
+    from ..kinematics import floor as floor_lib
+    from ..kinematics import trajectory as traj_lib
+    from ..kinematics.ik import IKConfig, solve_ck_ik
+    from ..kinematics.residuals import data_order_positions
+
+    if cam_focal is None:
+        cam_focal = defs.MTC_FOCAL
+    if cam_pp is None:
+        cam_pp = defs.MTC_PP
+    if lm_cfg is None:
+        lm_cfg = LMConfig(max_iters=50, cg_iters=100)
+
+    F = pose2d.shape[0]
+    parents = tuple(skeleton.parents)
+    J = skeleton.num_joints
+    s2d = np.asarray(defs.COMBINED_SKEL_TO_DATA)
+
+    targets = pose3d[:, s2d] + root_pos[:, None, :]
+    offsets = traj_lib.update_skeleton(np.asarray(skeleton.offsets), parents, targets)
+    proj_w, data_w = traj_lib.build_weights(conf2d)
+    pose2d_norm = (
+        pose2d - np.asarray(cam_pp)[None, None]
+    ) / np.asarray(cam_focal)[None, None]
+
+    rot0 = traj_lib.init_rotations_from_smpl(smpl_angles_skel)
+    pos0 = np.broadcast_to(offsets[None], (F, J, 3)).copy()
+    pos0[:, 0] = root_pos
+    anim0 = Animation(
+        jnp.asarray(rot0, dtype), jnp.asarray(pos0, dtype),
+        jnp.asarray(skeleton.orients, dtype), jnp.asarray(offsets, dtype), parents,
+    )
+    spine = set(int(s) for s in defs.COMBINED_SKEL_SPINE_JOINTS)
+    targetmap = {
+        j: jnp.asarray(targets[:, j], dtype) for j in range(J) if j not in spine
+    }
+    anim_ik = solve_ck_ik(
+        anim0, targetmap, IKConfig(iterations=ik_iterations, damping=7.0)
+    )
+
+    x0 = np.concatenate(
+        [
+            np.asarray(anim_ik.positions[:, 0]),
+            np.asarray(quat.to_euler(anim_ik.rotations, "xyz")).reshape(F, -1),
+        ],
+        axis=-1,
+    ).astype(np.dtype(jnp.dtype(dtype)))
+
+    def make_data(vc, n, p):
+        return TrajectoryData(
+            pose3d=jnp.asarray(pose3d, dtype),
+            root_trans=jnp.asarray(root_pos, dtype),
+            pose2d_norm=jnp.asarray(pose2d_norm, dtype),
+            proj_weights=jnp.asarray(proj_w, dtype),
+            data_weights=jnp.asarray(data_w, dtype),
+            smooth_weights=jnp.asarray(defs.COMBINED_SMOOTH_WEIGHTS, dtype),
+            vel_constraints=jnp.asarray(vc, dtype),
+            floor_normal=jnp.asarray(n, dtype),
+            floor_point=jnp.asarray(p, dtype),
+            offsets=jnp.asarray(offsets, dtype),
+        )
+
+    zero3 = np.zeros(3)
+    data1 = make_data(vel_constraints, zero3, zero3)
+    x1, _ = lm_solve_frame_sharded(
+        x0, data1, traj_lib.STAGE1, parents, mesh, axis, lm_cfg, dtype
+    )
+
+    # floor fit + contact pruning (global, cheap — on gathered stage-1 output)
+    y1, root1 = data_order_positions(
+        jnp.asarray(x1, dtype), data1.offsets, parents
+    )
+    feet_cols = s2d[defs.COMBINED_SKEL_FEET_IDX]
+    world_feet = np.asarray(y1 + root1[:, None, :])[:, feet_cols]
+    flags = np.asarray(vel_constraints)[:, feet_cols]
+    mask = jnp.asarray(flags.reshape(-1) == 1)
+    pts = world_feet.reshape(-1, 3)
+    fit = floor_lib.fit_floor(
+        jnp.asarray(pts[:, [0, 2]], dtype), jnp.asarray(pts[:, 1], dtype),
+        mask, epsilon=1.5,
+    )
+    fit2 = floor_lib.fit_floor(
+        jnp.asarray(pts[:, [0, 2]], dtype), jnp.asarray(pts[:, 1], dtype),
+        mask, epsilon=2.2,
+    )
+    new_vc = np.asarray(floor_lib.prune_contacts(
+        jnp.asarray(np.asarray(vel_constraints).copy(), dtype),
+        jnp.asarray(feet_cols), fit2.outliers, mask,
+    ))
+    plane_normal = np.asarray(fit.normal, np.float64)
+    plane_point = np.asarray(fit.point, np.float64)
+
+    data2 = make_data(new_vc, plane_normal, plane_point)
+    x2, _ = lm_solve_frame_sharded(
+        x1, data2, traj_lib.STAGE2, parents, mesh, axis, lm_cfg, dtype
+    )
+
+    y2, root2 = data_order_positions(jnp.asarray(x2, dtype), data2.offsets, parents)
+    pose3d_out = np.array(y2 + root2[:, None, :])
+    pose3d_out[:, defs.COMBINED_ROOT_IDX] = np.asarray(root2)
+    fx, fy = cam_focal
+    cx, cy = cam_pp
+    proj2d = np.stack(
+        [
+            fx * pose3d_out[..., 0] / pose3d_out[..., 2] + cx,
+            fy * pose3d_out[..., 1] / pose3d_out[..., 2] + cy,
+        ],
+        axis=-1,
+    )
+    xm = x2.reshape(F, -1)
+    rot = quat.from_euler(
+        jnp.asarray(xm[:, 3:].reshape(F, J, 3), dtype), "xyz", world=True
+    )
+    pos = np.broadcast_to(offsets[None], (F, J, 3)).copy()
+    pos[:, 0] = xm[:, :3]
+    anim = Animation(
+        np.asarray(rot), pos, np.asarray(skeleton.orients), offsets, parents
+    )
+    return traj_lib.TrajectoryResult(
+        anim=anim,
+        pose3d=pose3d_out,
+        proj2d=proj2d,
+        floor_normal=plane_normal,
+        floor_point=plane_point,
+        vel_constraints=new_vc,
+        refined_contacts=traj_lib.refine_contact_labels(new_vc),
+    )
+
+
 def probe_grad_diag(
     x0: np.ndarray,
     data: TrajectoryData,

@@ -138,3 +138,38 @@ def test_sharded_residual_cost_exact():
     r = trajectory_residuals(jnp.asarray(x0.reshape(-1)), data, w, parents)
     c_ref = 0.5 * float(jnp.vdot(r, r))
     np.testing.assert_allclose(float(c_sh), c_ref, rtol=1e-5)
+
+
+def test_full_refinement_frame_sharded():
+    """The complete frame-sharded refinement (IK init → sharded stage-1 LM →
+    floor fit + pruning → sharded stage-2 LM) lands in the same solution as
+    the single-device optimize_trajectory on a well-conditioned problem."""
+    from chd_tpu.kinematics import trajectory as traj_lib
+    from test_kinematics_batch import make_problem as kin_problem
+
+    rng = np.random.default_rng(11)
+    skel, _, _ = bvh.load(SKEL_BVH)
+    F = 16
+    prob = kin_problem(rng, skel, F)
+    cfg = LMConfig(max_iters=6, cg_iters=20, init_lambda=1e-2)
+    mesh = mesh_lib.make_mesh(n_devices=4, model=1)
+
+    res_sh = longseq.optimize_trajectory_frame_sharded(
+        prob["pose2d"], prob["conf2d"], prob["pose3d"], prob["root_pos"],
+        prob["smpl_angles"], skel, prob["vel_constraints"], mesh,
+        ik_iterations=10, lm_cfg=cfg,
+    )
+    res_1d = traj_lib.optimize_trajectory(
+        prob["pose2d"], prob["conf2d"], prob["pose3d"], prob["root_pos"],
+        prob["smpl_angles"], skel, prob["vel_constraints"],
+        ik_iterations=10, lm_cfg=cfg,
+    )
+    assert np.isfinite(res_sh.pose3d).all()
+    # same solution basin (identical math; fp drift only — cm-scale problem)
+    np.testing.assert_allclose(
+        res_sh.pose3d, res_1d.pose3d, rtol=0.0, atol=0.5
+    )
+    np.testing.assert_allclose(
+        res_sh.floor_normal, res_1d.floor_normal, rtol=0.0, atol=1e-3
+    )
+    np.testing.assert_array_equal(res_sh.refined_contacts, res_1d.refined_contacts)
