@@ -40,8 +40,39 @@ try:
 except ImportError:  # not running inside Blender
     HAVE_BPY = False
 
-# Mixamo character scales (viz_blender.py:33-65 equivalents)
-CHARACTER_SCALE = {"ybot": 1.0, "skeletonzombie": 1.0, "ty": 1.0}
+# Mixamo character name → store ID and per-character FBX normalization
+# scale — constant data that must match the reference tables for asset
+# compatibility (viz_blender.py:33-48, :50-65).
+CHARACTER_NAME_TO_ID = {
+    "liam": "44939_Liam",
+    "remy": "44942_Remy",
+    "malcolm": "44940_Malcolm",
+    "stefani": "44944_Stefani",
+    "douglas": "45049_Douglas",
+    "regina": "44941_Regina",
+    "shae": "44943_Shae",
+    "swat": "254_Swat",
+    "lola": "893_Lola_B_Styperek",
+    "derrick": "363_Derrick",
+    "pearl": "45051_Pearl",
+    "jasper": "45050_Jasper",
+    "exored": "132_Exo_Red",
+    "ybot": "45276_Y_Bot",
+    "ty": "910_Ty",
+    "skeletonzombie": "968_Skeletonzombie_T_Avelange",
+}
+_ID_SCALE = {
+    "44939_Liam": 0.005, "44942_Remy": 0.005, "44940_Malcolm": 0.005,
+    "44944_Stefani": 0.005, "45049_Douglas": 0.01, "44941_Regina": 0.005,
+    "44943_Shae": 0.005, "254_Swat": 0.01, "893_Lola_B_Styperek": 0.01,
+    "363_Derrick": 0.01, "45051_Pearl": 0.01, "45050_Jasper": 0.01,
+    "132_Exo_Red": 0.01, "45276_Y_Bot": 0.01, "910_Ty": 0.01,
+    "968_Skeletonzombie_T_Avelange": 0.01,
+}
+# name → FBX import scale (relative to the 0.01 BVH/world normalization)
+CHARACTER_SCALE = {
+    name: _ID_SCALE[cid] / 0.01 for name, cid in CHARACTER_NAME_TO_ID.items()
+}
 
 
 def estimate_kinematic_forces(com_traj, floor_normal, mass, fps: float = 30.0):
