@@ -20,7 +20,13 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_chd")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 try:  # not present on older jax releases
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    # "none": do NOT persist XLA's internal AOT kernel caches. Those entries
+    # embed the compile machine's CPU feature set; when several processes
+    # with different XLA clients (axon TPU plugin registered vs plain CPU)
+    # share this directory, loading a foreign-feature kernel SIGSEGVs inside
+    # cpu_aot_loader (observed as intermittent rc=139 test crashes). The jit
+    # executable cache — the actual compile-time win — is unaffected.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except AttributeError:
     pass
 
