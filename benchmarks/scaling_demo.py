@@ -73,8 +73,11 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_chd")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # persistent compile cache opt-in only — see tests/conftest.py for why
+    cache = os.environ.get("CHD_JAX_CACHE")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 

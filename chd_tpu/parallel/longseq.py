@@ -127,6 +127,8 @@ def optimize_trajectory_frame_sharded(
     axis: str = "data",
     cam_focal=None,
     cam_pp=None,
+    plane_normal=None,
+    plane_point=None,
     ik_iterations: int = 200,
     lm_cfg: LMConfig = None,
     dtype=jnp.float32,
@@ -205,35 +207,42 @@ def optimize_trajectory_frame_sharded(
             offsets=jnp.asarray(offsets, dtype),
         )
 
+    given_floor = plane_normal is not None and plane_point is not None
     zero3 = np.zeros(3)
-    data1 = make_data(vel_constraints, zero3, zero3)
+    data1 = make_data(vel_constraints,
+                      plane_normal if given_floor else zero3,
+                      plane_point if given_floor else zero3)
     x1, _ = lm_solve_frame_sharded(
         x0, data1, traj_lib.STAGE1, parents, mesh, axis, lm_cfg, dtype
     )
 
-    # floor fit + contact pruning (global, cheap — on gathered stage-1 output)
-    y1, root1 = data_order_positions(
-        jnp.asarray(x1, dtype), data1.offsets, parents
-    )
-    feet_cols = s2d[defs.COMBINED_SKEL_FEET_IDX]
-    world_feet = np.asarray(y1 + root1[:, None, :])[:, feet_cols]
-    flags = np.asarray(vel_constraints)[:, feet_cols]
-    mask = jnp.asarray(flags.reshape(-1) == 1)
-    pts = world_feet.reshape(-1, 3)
-    fit = floor_lib.fit_floor(
-        jnp.asarray(pts[:, [0, 2]], dtype), jnp.asarray(pts[:, 1], dtype),
-        mask, epsilon=1.5,
-    )
-    fit2 = floor_lib.fit_floor(
-        jnp.asarray(pts[:, [0, 2]], dtype), jnp.asarray(pts[:, 1], dtype),
-        mask, epsilon=2.2,
-    )
-    new_vc = np.asarray(floor_lib.prune_contacts(
-        jnp.asarray(np.asarray(vel_constraints).copy(), dtype),
-        jnp.asarray(feet_cols), fit2.outliers, mask,
-    ))
-    plane_normal = np.asarray(fit.normal, np.float64)
-    plane_point = np.asarray(fit.point, np.float64)
+    new_vc = np.asarray(vel_constraints).copy()
+    if not given_floor:
+        # floor fit + contact pruning (global, cheap — on gathered stage-1
+        # output; with a GT floor the reference skips fit AND pruning,
+        # optimize_trajectory.py:713-767 guard)
+        y1, root1 = data_order_positions(
+            jnp.asarray(x1, dtype), data1.offsets, parents
+        )
+        feet_cols = s2d[defs.COMBINED_SKEL_FEET_IDX]
+        world_feet = np.asarray(y1 + root1[:, None, :])[:, feet_cols]
+        flags = np.asarray(vel_constraints)[:, feet_cols]
+        mask = jnp.asarray(flags.reshape(-1) == 1)
+        pts = world_feet.reshape(-1, 3)
+        fit = floor_lib.fit_floor(
+            jnp.asarray(pts[:, [0, 2]], dtype), jnp.asarray(pts[:, 1], dtype),
+            mask, epsilon=1.5,
+        )
+        fit2 = floor_lib.fit_floor(
+            jnp.asarray(pts[:, [0, 2]], dtype), jnp.asarray(pts[:, 1], dtype),
+            mask, epsilon=2.2,
+        )
+        new_vc = np.asarray(floor_lib.prune_contacts(
+            jnp.asarray(new_vc, dtype),
+            jnp.asarray(feet_cols), fit2.outliers, mask,
+        ))
+        plane_normal = np.asarray(fit.normal, np.float64)
+        plane_point = np.asarray(fit.point, np.float64)
 
     data2 = make_data(new_vc, plane_normal, plane_point)
     x2, _ = lm_solve_frame_sharded(
@@ -265,8 +274,8 @@ def optimize_trajectory_frame_sharded(
         anim=anim,
         pose3d=pose3d_out,
         proj2d=proj2d,
-        floor_normal=plane_normal,
-        floor_point=plane_point,
+        floor_normal=np.asarray(plane_normal),
+        floor_point=np.asarray(plane_point),
         vel_constraints=new_vc,
         refined_contacts=traj_lib.refine_contact_labels(new_vc),
     )

@@ -103,15 +103,36 @@ def run_kinematic_stage(
     smpl_skel = totalcap.combined_angles_from_smpl(tc.smpl_joint_angles[:F])
     skeleton, names, frametime = bvh.load(_skel_path(cfg))
 
-    res = traj_lib.optimize_trajectory(
-        poses2d, conf2d, pose3d, root_pos, smpl_skel, skeleton, vel_constraints,
-        cam_focal=cfg.kinematic.focal,
-        cam_pp=cfg.kinematic.pp,
-        plane_normal=plane_normal,
-        plane_point=plane_point,
-        ik_iterations=cfg.kinematic.ik_iterations,
-        lm_cfg=LMConfig(max_iters=cfg.kinematic.lm_iters, cg_iters=cfg.kinematic.cg_iters),
-    )
+    lm_cfg = LMConfig(max_iters=cfg.kinematic.lm_iters, cg_iters=cfg.kinematic.cg_iters)
+    thresh = cfg.kinematic.frame_shard_threshold
+    import jax
+
+    if thresh and F >= thresh and len(jax.devices()) > 1:
+        # one very long sequence: shard the LM stages' frame axis over all
+        # devices (parallel/longseq.py) instead of solving on one chip
+        from ..parallel import longseq as longseq_lib
+        from ..parallel import mesh as mesh_lib
+
+        res = longseq_lib.optimize_trajectory_frame_sharded(
+            poses2d, conf2d, pose3d, root_pos, smpl_skel, skeleton,
+            vel_constraints, mesh_lib.make_mesh(model=1),
+            cam_focal=cfg.kinematic.focal,
+            cam_pp=cfg.kinematic.pp,
+            plane_normal=plane_normal,
+            plane_point=plane_point,
+            ik_iterations=cfg.kinematic.ik_iterations,
+            lm_cfg=lm_cfg,
+        )
+    else:
+        res = traj_lib.optimize_trajectory(
+            poses2d, conf2d, pose3d, root_pos, smpl_skel, skeleton, vel_constraints,
+            cam_focal=cfg.kinematic.focal,
+            cam_pp=cfg.kinematic.pp,
+            plane_normal=plane_normal,
+            plane_point=plane_point,
+            ik_iterations=cfg.kinematic.ik_iterations,
+            lm_cfg=lm_cfg,
+        )
 
     bvh.save(os.path.join(out_dir, "final_test.bvh"), res.anim, names, frametime=frametime)
     np.save(os.path.join(out_dir, "foot_contacts.npy"), res.refined_contacts)

@@ -37,6 +37,9 @@ class KinematicConfig:
     cg_iters: int = 100
     use_gt_floor: bool = False
     skel_path: Optional[str] = None  # combined template BVH
+    # shard the FRAME axis of the LM stages over all devices when a single
+    # sequence reaches this many frames (parallel/longseq.py); 0 disables.
+    frame_shard_threshold: int = 0
 
 
 @dataclasses.dataclass

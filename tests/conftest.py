@@ -15,20 +15,21 @@ jax.config.update("jax_platforms", "cpu")
 # Parity tests compare against the float64 numpy reference implementation.
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the solver graphs (LM/AL stages under vmap)
-# take minutes to compile on CPU; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_chd")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-try:  # not present on older jax releases
-    # "none": do NOT persist XLA's internal AOT kernel caches. Those entries
-    # embed the compile machine's CPU feature set; when several processes
-    # with different XLA clients (axon TPU plugin registered vs plain CPU)
-    # share this directory, loading a foreign-feature kernel SIGSEGVs inside
-    # cpu_aot_loader (observed as intermittent rc=139 test crashes). The jit
-    # executable cache — the actual compile-time win — is unaffected.
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
-except AttributeError:
-    pass
+# Persistent compilation cache: DISABLED by default. On this machine pool
+# (firecracker VMs scheduled across heterogeneous physical CPUs) cache
+# entries serialized on one host generation intermittently SIGSEGV when
+# read — and even written — on another (observed in both
+# compilation_cache.get_executable_and_time and put_executable_and_time,
+# with cpu_aot_loader machine-feature-mismatch warnings). Correctness over
+# warm starts: set CHD_JAX_CACHE=/some/dir to opt back in on a stable host.
+_cache_dir = os.environ.get("CHD_JAX_CACHE")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    try:  # not present on older jax releases
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except AttributeError:
+        pass
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)

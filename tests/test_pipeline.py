@@ -146,3 +146,24 @@ def test_config_roundtrip_and_override():
     assert cfg3.physics.w_ee == 0.5 and cfg3.character == "ty"
     with pytest.raises(KeyError):
         cfg.override(**{"physics.nonexistent": 1})
+
+
+@pytest.mark.slow
+def test_kinematic_stage_frame_sharded(tmp_path, cfg):
+    """frame_shard_threshold routes the kinematic stage through the
+    frame-sharded LM path (parallel/longseq.py) and produces the same
+    artifact set."""
+    import dataclasses
+
+    vd = synthesize_video_dir(tmp_path)
+    cfg_sh = dataclasses.replace(
+        cfg,
+        kinematic=dataclasses.replace(cfg.kinematic, frame_shard_threshold=8),
+    )
+    kin = run_kinematic_stage(vd, cfg_sh)
+    assert os.path.exists(os.path.join(kin, "final_test.bvh"))
+    assert os.path.exists(os.path.join(kin, "floor_out.txt"))
+    refined = np.load(os.path.join(kin, "foot_contacts.npy"))
+    assert refined.shape[1] == 4
+    anim, _, _ = bvh.load(os.path.join(kin, "final_test.bvh"))
+    assert np.isfinite(np.asarray(anim.positions)).all()
