@@ -47,9 +47,11 @@ OUR_BATCH = 128   # videos per device batch for the JAX contact path
 REF_VIDEOS = 2    # videos for the (slow) reference-style contact baseline
 SUBSET = list(range(8, 15)) + list(range(19, 25))  # 'lower'
 
-PHYS_BATCH = 16
+# batch 32 measured best on v5e-1 (8572 seq/hour vs 5445 at 16; 64 exceeds
+# the compile/memory budget); kinematic is compute-saturated by batch 16
+PHYS_BATCH = int(os.environ.get("CHD_PHYS_BATCH", "32"))
 PHYS_FRAMES = 100
-KIN_BATCH = 16
+KIN_BATCH = int(os.environ.get("CHD_KIN_BATCH", "16"))
 KIN_FRAMES = 100
 
 # measured by benchmarks/ref_kinematic_baseline.py on this image's CPU
