@@ -100,3 +100,63 @@ def walking_input(F: int, dt: float = 1.0 / 30.0, seed: int = 0):
         floor_normal=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
         floor_point=jnp.zeros(3, jnp.float32),
     )
+
+
+def hopping_input(F: int, dt: float = 1.0 / 30.0, seed: int = 0):
+    """Standing vertical hop with a true FLIGHT phase: crouch → push-off →
+    ~0.3 s airborne (all four contacts open) → land → settle. During flight
+    no contact force exists, so the solver's COM must follow a ballistic
+    arc — the sharpest dynamic-consistency probe the walking clip can't
+    provide (reference analog: the aerial phases its duration solver was
+    built for, phys_optim.cpp:663-711)."""
+    import jax.numpy as jnp
+
+    from .types import GRAVITY, PhysInput
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(F) * dt
+    T_fl = 0.3                      # flight duration
+    t0 = 0.45 * F * dt              # takeoff time
+    t1 = t0 + T_fl
+    v0 = GRAVITY * T_fl / 2.0       # ballistic takeoff speed
+
+    z0 = 0.95
+    z = np.full(F, z0)
+    crouch = (t > t0 - 0.4) & (t <= t0)
+    z[crouch] = z0 - 0.08 * np.sin(np.pi * (t[crouch] - (t0 - 0.4)) / 0.4)
+    fl = (t > t0) & (t < t1)
+    z[fl] = z0 + v0 * (t[fl] - t0) - 0.5 * GRAVITY * (t[fl] - t0) ** 2
+    land = (t >= t1) & (t < t1 + 0.3)
+    z[land] = z0 - 0.05 * np.sin(np.pi * (t[land] - t1) / 0.3)
+    base_lin = np.stack([np.zeros(F), np.zeros(F), z], axis=1)
+    base_ang = np.zeros((F, 3))
+
+    contact = np.ones((4, F))
+    contact[:, fl] = 0.0
+    contact[:, :3] = 1.0
+    contact[:, -3:] = 1.0
+
+    feet_xy = np.array([[0.15, 0.1], [-0.15, 0.1], [0.15, -0.1], [-0.15, -0.1]])
+    ee = np.zeros((4, F, 3))
+    ee[:, :, 0] = feet_xy[:, 0:1]
+    ee[:, :, 1] = feet_xy[:, 1:2]
+    ee[:, fl, 2] = (z[fl] - z0)[None, :]  # feet ride the ballistic arc
+
+    inertia = np.tile(np.eye(3) * 8.0, (F, 1, 1))
+    inertia += rng.normal(0, 0.05, size=(F, 3, 3)) * np.eye(3)
+    return PhysInput(
+        dt=jnp.asarray(dt, jnp.float32),
+        base_lin=jnp.asarray(base_lin, jnp.float32),
+        base_ang=jnp.asarray(base_ang, jnp.float32),
+        ee_pos=jnp.asarray(ee, jnp.float32),
+        contact=jnp.asarray(contact, jnp.float32),
+        left_hip=jnp.asarray(np.tile([0.1, 0.1, -0.1], (F, 1)), jnp.float32),
+        right_hip=jnp.asarray(np.tile([-0.1, 0.1, -0.1], (F, 1)), jnp.float32),
+        inertia=jnp.asarray(inertia, jnp.float32),
+        mass=jnp.asarray(73.0, jnp.float32),
+        max_leg_length=jnp.asarray(1.2, jnp.float32),
+        max_heel_length=jnp.asarray(1.15, jnp.float32),
+        heel_dist=jnp.asarray(0.2, jnp.float32),
+        floor_normal=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        floor_point=jnp.zeros(3, jnp.float32),
+    )

@@ -120,3 +120,87 @@ def test_swing_clearance_and_schedule(solved):
         stance = (np.abs(np.asarray(final.ee_force)[e]).sum(-1) > 1e-6)
         n_out = int(np.abs(np.diff(stance.astype(np.float32))).sum())
         assert abs(n_in - n_out) <= 2, (e, n_in, n_out)
+
+
+@pytest.fixture(scope="module")
+def solved_hop():
+    from chd_tpu.physics.synth import hopping_input
+
+    phys = hopping_input(F)  # same F as the walking clip → same compiled graph
+    weights = PhysWeights()
+    cfg = collocation.SolveConfig()
+    res_fit, res_dyn, stats = collocation.solve_physics(phys, weights, cfg)
+    res_dur, dstats, ok = collocation.solve_physics_durations(
+        phys, res_dyn, weights, cfg
+    )
+    return phys, res_dyn, (res_dur if ok else res_dyn)
+
+
+def test_flight_phase_is_ballistic(solved_hop):
+    """During flight no contact force exists, so the solved COM must free
+    fall: z̈ ≈ −g on interior flight frames. Forces on INPUT-flight frames
+    are exactly zero in the fixed-schedule stage-2 result; the stage-3
+    durations result may legitimately SHIFT phase boundaries (that is what
+    it optimizes), so its ballistic check runs on the SOLVED schedule's
+    flight window, which must still overlap the input's."""
+    phys, res_dyn, final = solved_hop
+    dt = float(phys.dt)
+    c = np.asarray(phys.contact)
+    fl_in = np.where(c.sum(axis=0) == 0)[0]
+    assert fl_in.size >= 5, "hop clip lost its flight phase"
+
+    # stage 2 (schedule fixed): zero force on every input-flight frame
+    f2 = np.asarray(res_dyn.ee_force)[:, fl_in]
+    _report("stage2_flight_max_force_N", np.abs(f2).max(), 1e-3)
+    assert np.abs(f2).max() < 1e-3
+
+    # final (durations) result: its re-rasterized flight window must still
+    # overlap the input's (it may shrink/shift — that is what stage 3 does)
+    ftot = np.abs(np.asarray(final.ee_force)).sum(axis=(0, 2))
+    fl = np.where(ftot == 0.0)[0]
+    overlap = len(set(fl) & set(fl_in)) / fl_in.size
+    _report("flight_window_overlap", overlap, 0.5)
+    assert overlap >= 0.5, (fl_in, fl)
+
+    # ballistic arc on the fixed-schedule stage-2 result, measured with the
+    # solver's own acceleration discretization (double central difference,
+    # srbd.dynamic_violation) on the deep flight interior — a single
+    # second-difference sees ±mm frame wiggle in the wider stencil's null
+    # space and boundary smear from the takeoff/landing impulses
+    z = np.asarray(res_dyn.base_lin)[:, 2]
+    vz = np.gradient(z, dt)
+    az = np.gradient(vz, dt)
+    interior = fl_in[2:-2]
+    assert interior.size >= 3
+    acc = az[interior]
+    from chd_tpu.physics.types import GRAVITY
+
+    _report("flight_mean_zacc", acc.mean(), -GRAVITY)
+    assert abs(acc.mean() + GRAVITY) < 1.0, acc
+    assert np.abs(acc + GRAVITY).max() < 3.0, acc
+
+
+def test_hop_takeoff_landing_impulse(solved_hop):
+    """Net GRF impulse over the whole hop ≈ m·Δv (the push-off and landing
+    impulses must sum to the ballistic momentum exchange)."""
+    phys, _, final = solved_hop
+    dt = float(phys.dt)
+    m = float(phys.mass)
+    grf = np.asarray(final.ee_force).sum(axis=0)
+    p = np.asarray(final.base_lin)
+    v0 = (p[2] - p[0]) / (2 * dt)
+    v1 = (p[-1] - p[-3]) / (2 * dt)
+    gravity = np.array([0.0, 0.0, -GRAVITY]) * m
+    impulse = (grf[1:-1] + gravity).sum(axis=0) * dt
+    dp = m * (v1 - v0)
+    resid = np.linalg.norm(impulse - dp)
+    scale = m * GRAVITY * (F - 2) * dt
+    _report("hop_impulse_residual_frac", resid / scale, 0.05)
+    assert resid / scale < 0.05
+
+
+def test_hop_com_tracks_input(solved_hop):
+    phys, _, final = solved_hop
+    err = np.linalg.norm(np.asarray(final.base_lin - phys.base_lin), axis=-1)
+    _report("hop_com_mean_err_m", err.mean(), 0.06)
+    assert err.mean() < 0.06
