@@ -63,13 +63,62 @@ REF_KINEMATIC_SEC_PER_SEQ = float(os.environ.get("CHD_REF_KIN_SEC", "5400.0"))
 REF_PHYSICS_SEC_PER_SEQ = float(os.environ.get("CHD_REF_PHYS_SEC", "60.0"))
 
 
-def _emit(metric, value, unit, baseline):
-    print(json.dumps({
+def _emit(metric, value, unit, baseline, **extra):
+    rec = {
         "metric": metric,
         "value": round(float(value), 2),
         "unit": unit,
         "vs_baseline": round(float(value) / baseline, 2) if baseline else None,
-    }), flush=True)
+    }
+    for k, v in extra.items():
+        if v is not None:
+            rec[k] = v
+    print(json.dumps(rec), flush=True)
+
+
+def _tpu_peak_flops():
+    """Per-chip peak FLOP/s (bf16 / f32-via-MXU) for MFU accounting.
+
+    v5e (v5 lite): 197 TFLOP/s bf16; f32 matmuls run on the MXU as
+    multi-pass bf16 so the bf16 number is the roofline either way.
+    """
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {
+        "v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+        "v4": 275e12, "v5p": 459e12, "v6e": 918e12, "v6 lite": 918e12,
+    }
+    for k, v in peaks.items():
+        if k in kind:
+            return v
+    return 197e12 if jax.default_backend() != "cpu" else None
+
+
+# MLP FLOPs per window (2*m*n per matmul; BN folded into the linears):
+# 351 -> 1024 -> 512 -> 128 -> 32 -> 20
+MLP_DIMS = [W * len(SUBSET) * 3, 1024, 512, 128, 32, 4 * P]
+MLP_FLOPS_PER_WINDOW = 2 * sum(a * b for a, b in zip(MLP_DIMS, MLP_DIMS[1:]))
+
+
+def _mfu_from_flops(flops_per_sec):
+    peak = _tpu_peak_flops()
+    if peak is None or not flops_per_sec:
+        return None
+    return {"achieved_tflops": round(flops_per_sec / 1e12, 3),
+            "pct_of_bf16_peak": round(100 * flops_per_sec / peak, 3)}
+
+
+def _contact_mfu(frames_per_sec):
+    """Model-FLOPs utilization of the contact path: only the MLP matmuls
+    count as useful FLOPs (featurization/vote overhead is not credited)."""
+    if not frames_per_sec:
+        return None
+    windows_per_frame = (FRAMES - W + 1) / FRAMES
+    return _mfu_from_flops(
+        frames_per_sec * windows_per_frame * MLP_FLOPS_PER_WINDOW)
+
+
 
 
 def synth_videos(n, frames, seed=0):
@@ -148,38 +197,49 @@ def bench_contact():
     ref_fps = None
     if model is not None:
         try:
-            ref_fps, ref_probs = _contact_reference_style(
-                model, synth_videos(REF_VIDEOS, FRAMES)
+            # The baseline runs on the SAME first REF_VIDEOS videos of the
+            # batch the JAX path just processed (not regenerated data — a
+            # fresh synth_videos(REF_VIDEOS) draws a different RNG stream
+            # position and the tripwire would compare unrelated inputs).
+            ref_fps, ref_probs, ref_contacts = _contact_reference_style(
+                model, kp[:REF_VIDEOS]
             )
-            # correctness tripwire: same weights, same inputs → window
+            # correctness tripwire 1: same weights, same inputs → window
             # probabilities must agree between the torch and JAX paths.
             # On TPU the MXU computes f32 matmuls with bf16 passes, so the
-            # tolerance is ~1e-2 there (measured 1.5e-2); on CPU both paths
-            # are full f32 and agree to ~1e-7.
+            # tolerance is ~1e-2 there; on CPU both paths are full f32 and
+            # agree to ~1e-7.
             jp = np.asarray(probs[:REF_VIDEOS])
             dmax = float(np.abs(jp - ref_probs).max())
             tol = 1e-3 if jax.default_backend() == "cpu" else 5e-2
-            if dmax > tol:
-                print(f"WARNING: jax/torch contact prob mismatch max|d|={dmax:.2e}"
-                      f" (tol {tol:.0e})", file=sys.stderr)
-            else:
-                print(f"tripwire ok: jax/torch prob max|d|={dmax:.2e}",
+            # correctness tripwire 2: the DECISIONS must agree — a prob
+            # delta near the 0.5 threshold can flip votes, so compare the
+            # final binary contact arrays, not just probabilities.
+            jc = np.asarray(contacts[:REF_VIDEOS])
+            agree = float((jc == ref_contacts).mean())
+            if dmax > tol or agree < 0.999:
+                print(f"WARNING: jax/torch contact mismatch max|d|={dmax:.2e}"
+                      f" (tol {tol:.0e}), binary agreement {agree:.4%}",
                       file=sys.stderr)
+            else:
+                print(f"tripwire ok: jax/torch prob max|d|={dmax:.2e}, "
+                      f"binary contact agreement {agree:.4%}", file=sys.stderr)
         except Exception as e:  # baseline failure must not kill the bench
             print(f"WARNING: reference-style contact baseline failed: {e}",
                   file=sys.stderr)
-    _emit("contact_infer_frames_per_sec", ours_fps, "frames/sec", ref_fps)
+    _emit("contact_infer_frames_per_sec", ours_fps, "frames/sec", ref_fps,
+          mfu=_contact_mfu(ours_fps))
 
 
 def _contact_reference_style(model, kp):
     """Reference pipeline shape on CPU: python loops + torch model.
-    Returns (frames/sec, (V, N, P, 4) probabilities)."""
+    Returns (frames/sec, (V, N, P, 4) probabilities, (V, F, 4) contacts)."""
     import torch
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from test_contact_ops import ref_gapfill, ref_votes, ref_window_item
 
-    all_probs = []
+    all_probs, all_contacts = [], []
     t0 = time.perf_counter()
     for v in range(kp.shape[0]):
         x = kp[v].astype(np.float64)
@@ -193,9 +253,10 @@ def _contact_reference_style(model, kp):
             ).numpy().reshape(n_win, P, 4)
         probs = 1 / (1 + np.exp(-logits))
         all_probs.append(probs)
-        ref_votes((probs > 0.5).astype(np.float32), W)
+        all_contacts.append(ref_votes((probs > 0.5).astype(np.float32), W))
     dt = time.perf_counter() - t0
-    return kp.shape[0] * kp.shape[1] / dt, np.stack(all_probs)
+    return (kp.shape[0] * kp.shape[1] / dt, np.stack(all_probs),
+            np.stack(all_contacts))
 
 
 def bench_train():
@@ -242,7 +303,9 @@ def bench_train():
         ref = _train_reference_style(B)
     except Exception as e:
         print(f"WARNING: torch train baseline failed: {e}", file=sys.stderr)
-    _emit("train_steps_per_sec", ours, "steps/sec", ref)
+    # fwd+bwd ~= 3x fwd matmul FLOPs; one window per sequence per step
+    _emit("train_steps_per_sec", ours, "steps/sec", ref,
+          mfu=_mfu_from_flops(ours * B * 3 * MLP_FLOPS_PER_WINDOW))
 
 
 def _train_reference_style(batch):
@@ -292,18 +355,27 @@ def bench_physics():
         res, stats, ok = batch_lib.solve_physics_durations_batch(
             batched, rd, weights, cfg)
         jax.block_until_ready(res.base_lin)
-        return res, ok
+        return res, stats, ok
 
-    res, ok = solve()  # warmup/compile
+    res, stats, ok = solve()  # warmup/compile
     t0 = time.perf_counter()
-    res, ok = solve()
+    res, stats, ok = solve()
     dt = time.perf_counter() - t0
     if not np.all(np.isfinite(np.asarray(res.base_lin))):
         print("WARNING: physics bench produced non-finite trajectories",
               file=sys.stderr)
+    # convergence tripwire: throughput is meaningless if the timed solves
+    # didn't converge — report the stage-3 acceptance rate and the worst
+    # dynamics-constraint violation of the timed batch alongside the number.
+    ok_rate = float(np.mean(ok))
+    max_dyn = float(np.max(np.asarray(stats["dyn"])))
+    print(f"physics convergence: durations_ok {int(ok.sum())}/{PHYS_BATCH}, "
+          f"max dyn violation {max_dyn:.3e}", file=sys.stderr)
     seq_per_hour = PHYS_BATCH / dt * 3600.0
     _emit("physics_seq_per_hour", seq_per_hour, "seq/hour",
-          3600.0 / REF_PHYSICS_SEC_PER_SEQ)
+          3600.0 / REF_PHYSICS_SEC_PER_SEQ,
+          durations_ok_rate=round(ok_rate, 4),
+          max_dyn_violation=round(max_dyn, 6))
 
 
 def bench_kinematic():

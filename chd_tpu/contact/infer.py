@@ -28,36 +28,6 @@ TRAIN_DIM = (1280, 720)
 TRAIN_NORMALIZATION = 200.4160302695367  # median hip→toe pixels in training
 
 
-def _infer_one(
-    op_data,
-    folded,
-    *,
-    window_size: int,
-    pred_size: int,
-    joint_subset: Tuple[int, ...],
-    use_confidence: bool,
-    conf_thresh: float,
-    normalization: float,
-    classify_thresh: float,
-    use_pallas: bool = False,
-):
-    """(F, 25, 3) raw keypoints → ((F, 4) contacts, (N, P, 4) window probs)."""
-    x = gapfill.preprocess_keypoints(op_data, conf_thresh, normalization)
-    feats = windows.featurize_video(
-        x, window_size, joint_subset, defs.OP_ROOT_JOINT, use_confidence
-    )
-    if use_pallas:
-        from ..ops.pallas_mlp import fused_mlp
-
-        logits = fused_mlp(folded, feats, pred_size)
-    else:
-        logits = contact_mlp.apply_folded(folded, feats, pred_size)
-    probs = jax.nn.sigmoid(logits)
-    preds = (probs > classify_thresh).astype(jnp.float32)
-    contacts = voting.merge_votes(preds, window_size)
-    return contacts, probs
-
-
 def _infer_batch(
     op_batch,
     folded,
@@ -71,16 +41,30 @@ def _infer_batch(
     classify_thresh: float,
     use_pallas: bool = False,
 ):
-    """(V, F, 25, 3) → ((V, F, 4) contacts, (V, N, P, 4) probs)."""
+    """(V, F, 25, 3) → ((V, F, 4) contacts, (V, N, P, 4) probs).
+
+    TPU-shaped end to end (measured v5e-1, V=1024, F=240: 23.6 → 14.6 ms
+    vs the round-2 gather-based formulation):
+      - gap-fill runs on the 13 subset joints only — the other 12 joints
+        never feed the model, and the gap-fill scans are the pipeline's
+        largest HBM consumer;
+      - windows come from W static shifted slices (ops.windows.featurize_
+        batch), not an (N, W) gather;
+      - all windows of all videos flow through the MLP as one flat matmul
+        batch at explicit "high" precision (see models.contact_mlp);
+      - vote aggregation is one exact 1-D conv (ops.voting.merge_votes_
+        batch) instead of lane-starved per-video shifted adds.
+    """
     V = op_batch.shape[0]
+    subset = jnp.asarray(list(joint_subset))
+    root_in_subset = list(joint_subset).index(defs.OP_ROOT_JOINT)
 
-    def featurize(op_data):
-        x = gapfill.preprocess_keypoints(op_data, conf_thresh, normalization)
-        return windows.featurize_video(
-            x, window_size, joint_subset, defs.OP_ROOT_JOINT, use_confidence
-        )
-
-    feats = jax.vmap(featurize)(op_batch)  # (V, N, W, J, C)
+    x = jax.vmap(
+        lambda o: gapfill.preprocess_keypoints(o, conf_thresh, normalization)
+    )(op_batch[:, :, subset, :])
+    feats = windows.featurize_batch(
+        x, window_size, root_in_subset, use_confidence
+    )  # (V, N, W, J, C)
     N = feats.shape[1]
     flat = feats.reshape((V * N,) + feats.shape[2:])
     if use_pallas:
@@ -91,8 +75,14 @@ def _infer_batch(
         logits = contact_mlp.apply_folded(folded, flat, pred_size)
     probs = jax.nn.sigmoid(logits).reshape(V, N, pred_size, 4)
     preds = (probs > classify_thresh).astype(jnp.float32)
-    contacts = jax.vmap(lambda p: voting.merge_votes(p, window_size))(preds)
+    contacts = voting.merge_votes_batch(preds, window_size)
     return contacts, probs
+
+
+def _infer_one(op_data, folded, **kw):
+    """(F, 25, 3) raw keypoints → ((F, 4) contacts, (N, P, 4) window probs)."""
+    contacts, probs = _infer_batch(op_data[None], folded, **kw)
+    return contacts[0], probs[0]
 
 
 class ContactDetector:

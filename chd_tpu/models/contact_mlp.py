@@ -151,13 +151,22 @@ def fold_batchnorm(params: Dict, state: Dict) -> Dict:
     return {"w": ws, "b": bs}
 
 
-def apply_folded(folded: Dict, x, pred_size: int):
-    """Eval forward through BN-folded weights: 5 matmuls + ReLUs."""
+def apply_folded(folded: Dict, x, pred_size: int, precision="high"):
+    """Eval forward through BN-folded weights: 5 matmuls + ReLUs.
+
+    ``precision`` pins the TPU matmul algorithm (default "high" = 3-pass
+    bfloat16, ~7e-5 max error vs f64 on v5e). The backend's DEFAULT dot can
+    silently drop to single-pass bf16 depending on how the surrounding graph
+    fuses (measured: the same 5-matmul chain drifted 1.4e-4 vs torch inside
+    one graph and 1.2e-2 inside another) — parity must not depend on the
+    lowering mood, so the contact path always requests "high" explicitly.
+    On CPU the parameter is a no-op (always full f32).
+    """
     B = x.shape[0]
     h = x.reshape(B, -1)
     n = len(folded["w"])
     for i in range(n):
-        h = h @ folded["w"][i].T + folded["b"][i]
+        h = jnp.dot(h, folded["w"][i].T, precision=precision) + folded["b"][i]
         if i < n - 1:
             h = jax.nn.relu(h)
     return h.reshape(B, pred_size, 4)

@@ -9,7 +9,9 @@ padding, fully jit-able.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def vote_thresholds(num_votes: int, pred_size: int, dtype=jnp.float32):
@@ -54,3 +56,43 @@ def merge_votes(window_preds, window_size: int):
     lead = jnp.repeat(contact[:1], pad, axis=0)
     tail = jnp.repeat(contact[-1:], pad, axis=0)
     return jnp.concatenate([lead, contact, tail], axis=0)
+
+
+def merge_votes_batch(window_preds, window_size: int):
+    """Batched vote merge: (V, N, P, C) → (V, N + W - 1, C) int32.
+
+    Same output as vmapping :func:`merge_votes`, but the vote accumulation
+    runs as one 1-D convolution over the window axis with a constant 0/1
+    kernel — the (N, C)-sliced shifted adds of the vmapped form leave C=4 in
+    the minor (lane) dimension, wasting 97% of each TPU vector; the conv
+    keeps the P*C=20-wide channel axis packed and rides the MXU. Votes are
+    small integers in float, so the conv is exact at any precision.
+    """
+    V, N, P, C = window_preds.shape
+    if (window_size - P) % 2 != 0:
+        raise ValueError(
+            f"window_size ({window_size}) and pred_size ({P}) must have equal "
+            "parity (the reference coerces window_size odd); otherwise the "
+            "output frame count would silently be off by one"
+        )
+    preds = window_preds.reshape(V, N, P * C)
+    # votes[t, c] = sum_p preds[t - p, p*C + c]; as a correlation with left/
+    # right padding P-1 the kernel tap k corresponds to input index
+    # t - (P-1) + k, so tap k = P-1-p selects channel p*C + c.
+    kernel = np.zeros((P, P * C, C), preds.dtype)
+    for p in range(P):
+        for c in range(C):
+            kernel[P - 1 - p, p * C + c, c] = 1.0
+    votes = jax.lax.conv_general_dilated(
+        preds,
+        jnp.asarray(kernel),
+        window_strides=(1,),
+        padding=((P - 1, P - 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # (V, N + P - 1, C)
+    thresh = vote_thresholds(N + P - 1, P, dtype=votes.dtype)
+    contact = (votes >= thresh[None, :, None]).astype(jnp.int32)
+    pad = (window_size - P) // 2
+    lead = jnp.repeat(contact[:, :1], pad, axis=1)
+    tail = jnp.repeat(contact[:, -1:], pad, axis=1)
+    return jnp.concatenate([lead, contact, tail], axis=1)

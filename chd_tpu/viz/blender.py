@@ -280,11 +280,16 @@ if HAVE_BPY:
             est_force = estimate_kinematic_forces(
                 kin_sol.base_pos, normal, get_character(character).mass, fps
             )
-            com_as_foot = np.asarray(kin_sol.base_pos).reshape(-1, 1, 3)
+            # the reference draws the estimated force at the per-frame mean
+            # of the four kinematic feet, not at the COM (viz_blender.py:
+            # 637-665 collapses kinematic_feet_pos with a mean over feet)
+            feet_mean = np.mean(
+                np.asarray(kin_sol.feet_pos), axis=1
+            ).reshape(-1, 1, 3)
             _render_one_result(
                 kin, kin_bvh, kin_sol, character, fbx_path,
                 os.path.join(out_dir, "kinematic"), num_views,
-                feet_pos=com_as_foot, feet_force=est_force,
+                feet_pos=feet_mean, feet_force=est_force,
             )
 
 
