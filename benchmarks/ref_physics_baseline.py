@@ -1,0 +1,294 @@
+"""Measure the physics-stage CPU cost (BASELINE config #4 denominator).
+
+The reference's physics stage is TOWR/ifopt/IPOPT/MA57 C++ (towr_phys_optim/
+phys_optim.cpp) which cannot be built here (no ifopt/IPOPT/coin-HSL, zero
+egress), so bench.py's ``physics_seq_per_hour`` baseline was an ASSUMED
+60 s/seq. This script replaces the assumption with measured CPU numbers on
+the exact clips bench.py times (physics/synth.walking_input, F=100, the
+same seeds):
+
+mode=scipy   A staged second-order NLP re-enactment of the reference solve:
+             the same four solver invocations with the same constraint-block
+             schedule and iteration budgets (phys_optim.cpp:554-661 —
+             stage 1.1 costs-only 7000 it, 1.2 +kinematic constraints
+             7000 it, 2.1 +dynamics 7000 it, 2.2 +floor height 2500 it,
+             tol 1e-3), solved by scipy trust-constr with exact-sparsity
+             colored FD Jacobians (the MA57-sparse analog) and BFGS cost
+             Hessian (IPOPT ran hessian_approximation=limited-memory).
+             Stage 3 (durations) is OMITTED — that only favors the
+             baseline. DNF within the budget is reported as a lower bound,
+             like benchmarks/ref_kinematic_baseline.py does for config #3.
+
+mode=allm    The repo's own augmented-Lagrangian LM solver (identical math
+             to the TPU path, incl. stage 3+4 durations) forced onto CPU —
+             the same-algorithm hardware-for-hardware denominator. This
+             always completes.
+
+bench.py's conservative default denominator is the FASTEST CPU alternative
+measured here (smallest sec/seq ⇒ smallest claimed speedup); override with
+CHD_REF_PHYS_SEC. Results are recorded in BASELINE.md.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+F = int(os.environ.get("REF_PHYS_FRAMES", "100"))
+BUDGET_S = float(os.environ.get("REF_PHYS_BUDGET_S", "5400"))
+SEEDS = [int(s) for s in os.environ.get("REF_PHYS_SEEDS", "0").split(",")]
+
+EQ_BLOCKS = ["dyn", "heel", "terrain", "slip"]
+INEQ_BLOCKS = ["leg", "force", "height"]
+
+
+def _block_frame_index(name, nF):
+    """Per-row frame index for each constraint block, flattened in the same
+    order collocation.constraints() values flatten (see shapes there)."""
+    if name == "dyn":
+        return np.repeat(np.arange(nF), 6)
+    if name == "heel":
+        return np.tile(np.arange(nF), 2)
+    if name in ("terrain", "leg", "height"):
+        return np.tile(np.arange(nF), 4)
+    if name == "slip":
+        return np.tile(np.repeat(np.arange(nF - 1), 3), 4)
+    if name == "force":
+        return np.tile(np.repeat(np.arange(nF), 3), 4)
+    raise KeyError(name)
+
+
+def _block_reach(name):
+    """How many neighbor frames a row touches: dyn uses central differences
+    (f±1), slip couples (f, f+1), everything else is frame-local."""
+    if name == "dyn":
+        return (-1, 1)
+    if name == "slip":
+        return (0, 1)
+    return (0, 0)
+
+
+def _block_row_mask(name, contact):
+    """Rows that are NOT identically zero. The reference only instantiates
+    terrain/no-slip/force constraints at stance nodes (swing forces are
+    eliminated by the TOWR parameterization); the collocation module masks
+    them to zero instead, and all-zero equality rows would make the SQP
+    Jacobian singular (scipy then falls back to an O(n^3) dense SVD)."""
+    c = np.asarray(contact)
+    nF = c.shape[1]
+    if name == "terrain":
+        return (c == 1).reshape(-1)
+    if name == "slip":
+        # keep tangential (x, y) components only: the normal component is
+        # linearly implied by the terrain equalities at both endpoint frames
+        # (floor normal is z-up here), and redundant equality rows make the
+        # SQP Jacobian rank-deficient → dense-SVD fallback.
+        both = np.repeat((c[:, :-1] * c[:, 1:] == 1)[..., None], 3, axis=2)
+        both[..., 2] = False
+        return both.reshape(-1)
+    if name == "force":
+        return np.repeat(c == 1, 3, axis=1).reshape(-1)
+    return np.ones(len(_block_frame_index(name, nF)), bool)
+
+
+def _sparsity(names, nF, dof, contact):
+    from scipy import sparse
+
+    rows_i, cols_i = [], []
+    row0 = 0
+    for name in names:
+        fidx = _block_frame_index(name, nF)[_block_row_mask(name, contact)]
+        lo, hi = _block_reach(name)
+        for d in range(lo, hi + 1):
+            f = np.clip(fidx + d, 0, nF - 1)
+            rr = np.repeat(np.arange(len(fidx)) + row0, dof)
+            cc = (f[:, None] * dof + np.arange(dof)[None, :]).reshape(-1)
+            rows_i.append(rr)
+            cols_i.append(cc)
+        row0 += len(fidx)
+    rows_i = np.concatenate(rows_i)
+    cols_i = np.concatenate(cols_i)
+    m = sparse.coo_matrix(
+        (np.ones(len(rows_i), bool), (rows_i, cols_i)), shape=(row0, nF * dof)
+    )
+    return m.tocsr()
+
+
+def run_scipy(phys, deadline):
+    """Staged trust-constr re-enactment. Returns (seconds, per-stage log,
+    finished: bool, final violation stats)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import BFGS, NonlinearConstraint, minimize
+
+    from chd_tpu.physics import collocation as co
+
+    nF = int(phys.base_lin.shape[0])
+    dof = co.DOF
+
+    def make_cost(w):
+        @jax.jit
+        def r(x):
+            return co.cost_residuals(x, phys, w)
+
+        @jax.jit
+        def val_grad(x):
+            def c(x):
+                rr = r(x)
+                return 0.5 * jnp.vdot(rr, rr)
+
+            return jax.value_and_grad(c)(x)
+
+        def f(x):
+            v, g = val_grad(jnp.asarray(x))
+            return float(v), np.asarray(g)
+
+        return f
+
+    def make_cons(names):
+        keep = np.concatenate(
+            [_block_row_mask(n, phys.contact) for n in names])
+
+        @jax.jit
+        def cvals(x):
+            cons = co.constraints(x, phys)
+            return jnp.concatenate([cons[n].reshape(-1) for n in names])[keep]
+
+        return lambda x: np.asarray(cvals(jnp.asarray(x)))
+
+    # stage table: (label, cost weights, eq blocks, ineq blocks, max_iter)
+    # — the reference's four solver invocations (phys_optim.cpp:554-661).
+    fit_w, dyn_w = co.FIT_COST, co.CostW(0.4, 1.7, 0.3, 0.001, 0.001, 0.1, 1e-4, 1e3)
+    stages = [
+        ("1.1 fit", fit_w, [], [], 7000),
+        ("1.2 +kin", fit_w, ["heel", "terrain", "slip"], ["leg"], 7000),
+        ("2.1 +dyn", dyn_w, ["dyn", "heel", "terrain", "slip"], ["leg", "force"], 7000),
+        ("2.2 +height", dyn_w, ["dyn", "heel", "terrain", "slip"],
+         ["leg", "force", "height"], 2500),
+    ]
+
+    x = np.asarray(
+        co.join_vars(
+            phys.base_lin, phys.base_ang, phys.ee_pos, jnp.zeros_like(phys.ee_pos)
+        ),
+        np.float64,
+    )
+    log, finished = [], True
+    t_start = time.perf_counter()
+    for label, w, eq, ineq, max_iter in stages:
+        cons = []
+        if eq:
+            fe = make_cons(eq)
+            ne = len(fe(x))
+            cons.append(NonlinearConstraint(
+                fe, np.zeros(ne), np.zeros(ne), jac="2-point",
+                finite_diff_jac_sparsity=_sparsity(eq, nF, dof, phys.contact)))
+        if ineq:
+            fi = make_cons(ineq)
+            ni = len(fi(x))
+            cons.append(NonlinearConstraint(
+                fi, -np.inf * np.ones(ni), np.zeros(ni), jac="2-point",
+                finite_diff_jac_sparsity=_sparsity(ineq, nF, dof, phys.contact)))
+
+        stop = {"hit": False}
+
+        def cb(xk, state):
+            if time.perf_counter() > deadline:
+                stop["hit"] = True
+                return True
+            return False
+
+        t0 = time.perf_counter()
+        res = minimize(
+            make_cost(w), x, jac=True, hess=BFGS(), method="trust-constr",
+            constraints=cons, callback=cb,
+            options={"maxiter": max_iter, "gtol": 1e-3, "xtol": 1e-10,
+                     "verbose": 0},
+        )
+        dt = time.perf_counter() - t0
+        x = res.x
+        entry = {"stage": label, "sec": round(dt, 1), "niter": int(res.niter),
+                 "status": int(res.status), "cost": float(res.fun),
+                 "constr_violation": float(getattr(res, "constr_violation", 0.0))}
+        log.append(entry)
+        print(f"  [scipy] {entry}", flush=True)
+        if stop["hit"]:
+            finished = False
+            break
+    total = time.perf_counter() - t_start
+    stats = {k: round(v, 5)
+             for k, v in co.violation_stats(jnp.asarray(x), phys).items()}
+    return total, log, finished, stats
+
+
+def run_allm(phys, n_timed=3):
+    """The repo's own staged AL-LM (incl. stage 3+4) on CPU, per-sequence."""
+    import jax
+
+    from chd_tpu.physics import collocation as co
+    from chd_tpu.physics.types import PhysWeights
+
+    w, cfg = PhysWeights(), co.SolveConfig()
+
+    def solve(p):
+        rf, rd, _ = co.solve_physics(p, w, cfg)
+        res, stats, ok = co.solve_physics_durations(p, rd, w, cfg)
+        jax.block_until_ready(res.base_lin)
+        return res, stats, ok
+
+    t0 = time.perf_counter()
+    res, stats, ok = solve(phys)  # warmup/compile
+    print(f"  [allm] warmup+compile {time.perf_counter() - t0:.1f}s, "
+          f"ok={ok}, dyn={stats['dyn']:.4f}", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        res, stats, ok = solve(phys)
+    sec = (time.perf_counter() - t0) / n_timed
+    return sec, stats, ok
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "scipy"
+    if mode == "scipy":
+        # the staged NLP needs f64 (IPOPT is f64; trust-constr's BFGS and
+        # the FD Jacobians misbehave in f32)
+        os.environ["JAX_ENABLE_X64"] = "1"
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if mode == "scipy":
+        jax.config.update("jax_enable_x64", True)
+
+    from chd_tpu.physics.synth import walking_input
+
+    out = {"mode": mode, "frames": F, "host_cores": os.cpu_count(),
+           "seeds": SEEDS, "per_seed": []}
+    deadline = time.perf_counter() + BUDGET_S
+    for seed in SEEDS:
+        phys = walking_input(F, seed=seed)
+        print(f"== seed {seed} ({mode}) ==", flush=True)
+        if mode == "scipy":
+            sec, log, finished, stats = run_scipy(phys, deadline)
+            out["per_seed"].append(
+                {"seed": seed, "sec": round(sec, 1), "finished": finished,
+                 "stages": log, "violations": stats})
+        else:
+            sec, stats, ok = run_allm(phys)
+            out["per_seed"].append(
+                {"seed": seed, "sec": round(sec, 1), "durations_ok": bool(ok),
+                 "violations": {k: round(float(v), 5) for k, v in stats.items()}})
+        print(f"== seed {seed}: {out['per_seed'][-1]['sec']} s ==", flush=True)
+    secs = [p["sec"] for p in out["per_seed"]]
+    out["sec_per_seq"] = round(float(np.mean(secs)), 1)
+    out["lower_bound"] = mode == "scipy" and not all(
+        p.get("finished", True) for p in out["per_seed"])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
