@@ -155,3 +155,53 @@ def test_one_euro_matches_reference():
         )
     )
     np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+def test_vote_merge_batch_matches_single():
+    """merge_votes_batch (1-D conv over packed channels) == vmapped
+    merge_votes for every (W, P) shape the pipeline uses."""
+    rng = np.random.default_rng(4)
+    for W, P in [(9, 5), (9, 3), (7, 5), (5, 1)]:
+        V, N = 3, 30
+        preds = (rng.uniform(size=(V, N, P, 4)) > 0.6).astype(np.float32)
+        got = np.asarray(voting.merge_votes_batch(jnp.asarray(preds), W))
+        for v in range(V):
+            want = np.asarray(voting.merge_votes(jnp.asarray(preds[v]), W))
+            np.testing.assert_array_equal(got[v], want)
+
+
+def test_vote_merge_batch_rejects_parity_mismatch():
+    import pytest
+
+    preds = np.zeros((1, 10, 4, 4), np.float32)
+    with pytest.raises(ValueError):
+        voting.merge_votes_batch(jnp.asarray(preds), 9)
+
+
+def test_featurize_batch_matches_per_video():
+    """featurize_batch (W shifted slices on pre-subset joints) == vmapped
+    featurize_video on the full 25-joint arrays."""
+    from chd_tpu.characters.defs import OP_JOINT_SUBSETS, OP_ROOT_JOINT
+
+    rng = np.random.default_rng(5)
+    V, F, W = 4, 30, 9
+    subset = list(OP_JOINT_SUBSETS["lower"])
+    root_in_subset = subset.index(OP_ROOT_JOINT)
+    op = rng.normal(size=(V, F, 25, 3)) * 100
+
+    got = np.asarray(
+        windows.featurize_batch(
+            jnp.asarray(op[:, :, subset, :]), W, root_in_subset
+        )
+    )
+    for v in range(V):
+        want = np.asarray(
+            windows.featurize_video(jnp.asarray(op[v]), W, subset)
+        )
+        np.testing.assert_allclose(got[v], want, atol=1e-12)
+
+    # use_confidence=False drops the confidence channel
+    got2 = windows.featurize_batch(
+        jnp.asarray(op[:, :, subset, :]), W, root_in_subset, use_confidence=False
+    )
+    assert got2.shape[-1] == 2
