@@ -1,0 +1,121 @@
+"""Contact-path throughput/MFU sweep on the real TPU (VERDICT r2 #2).
+
+Measures the full fused inference graph (gap-fill -> windows -> MLP ->
+vote merge) across video-batch sizes and matmul precision settings, with
+the binary-decision tripwire evaluated per configuration: a faster setting
+only counts if the final contact arrays still agree >=99.9% with the f64
+torch oracle path.
+
+Run: python benchmarks/contact_sweep.py
+Emits one JSON line per configuration.
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+F = 240
+W, P = 9, 5
+SUBSET = list(range(8, 15)) + list(range(19, 25))
+MLP_DIMS = [W * len(SUBSET) * 3, 1024, 512, 128, 32, 4 * P]
+MLP_FLOPS = 2 * sum(a * b for a, b in zip(MLP_DIMS, MLP_DIMS[1:]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from chd_tpu.contact import infer
+    from chd_tpu.models import contact_mlp
+
+    params, state = contact_mlp.init(jax.random.PRNGKey(0), contact_mlp.ModelConfig())
+    folded = contact_mlp.fold_batchnorm(params, state)
+    folded = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), folded)
+
+    rng = np.random.default_rng(0)
+
+    def synth(n):
+        kp = np.empty((n, F, 25, 3), np.float32)
+        kp[..., 0] = rng.uniform(0, 1280, size=(n, F, 25))
+        kp[..., 1] = rng.uniform(0, 720, size=(n, F, 25))
+        kp[..., 2] = rng.uniform(0, 1, size=(n, F, 25))
+        return kp
+
+    # oracle decisions on 2 videos (f64 torch path, from the test helpers)
+    from test_contact_ops import ref_gapfill, ref_votes, ref_window_item
+    import torch
+
+    tm = torch.nn.Sequential(
+        torch.nn.Linear(MLP_DIMS[0], 1024), torch.nn.ReLU(),
+        torch.nn.Linear(1024, 512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 32), torch.nn.ReLU(),
+        torch.nn.Linear(32, 4 * P),
+    )
+    with torch.no_grad():
+        for i, li in enumerate([0, 2, 4, 6, 8]):
+            tm[li].weight.copy_(torch.tensor(np.asarray(folded["w"][i])))
+            tm[li].bias.copy_(torch.tensor(np.asarray(folded["b"][i])))
+    tm.eval()
+
+    def oracle_contacts(kp):
+        outs = []
+        for v in range(kp.shape[0]):
+            x = kp[v].astype(np.float64)
+            xy = ref_gapfill(x[..., :2], x[..., 2]) / infer.TRAIN_NORMALIZATION
+            x = np.concatenate([xy, x[..., 2:]], axis=-1)
+            n_win = F - W + 1
+            feats = np.stack([ref_window_item(x, s, W, SUBSET) for s in range(n_win)])
+            with torch.no_grad():
+                logits = tm(
+                    torch.tensor(feats.reshape(n_win, -1), dtype=torch.float32)
+                ).numpy().reshape(n_win, P, 4)
+            probs = 1 / (1 + np.exp(-logits))
+            outs.append(ref_votes((probs > 0.5).astype(np.float32), W))
+        return np.stack(outs)
+
+    kp_check = synth(2)
+    want = oracle_contacts(kp_check)
+
+    for precision in ["high", "default", "highest", "pallas"]:
+        use_pallas = precision == "pallas"
+        prec = None if precision == "default" else ("high" if use_pallas else precision)
+        fn = jax.jit(functools.partial(
+            infer._infer_batch,
+            window_size=W, pred_size=P,
+            joint_subset=tuple(SUBSET), use_confidence=True,
+            conf_thresh=0.2, normalization=infer.TRAIN_NORMALIZATION,
+            classify_thresh=0.5, use_pallas=use_pallas, precision=prec,
+        ))
+        c2, _ = fn(jnp.asarray(kp_check), folded)
+        agree = float((np.asarray(c2) == want).mean())
+        for V in [128, 512, 1024, 2048]:
+            kp = jnp.asarray(synth(V))
+            c, p = fn(kp, folded)  # compile
+            jax.block_until_ready(c)
+            n_iter = 3
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                c, p = fn(kp, folded)
+                float(jnp.sum(c))  # checksum transfer forces completion
+            dt = (time.perf_counter() - t0) / n_iter
+            fps = V * F / dt
+            wpf = (F - W + 1) / F
+            print(json.dumps({
+                "precision": precision, "batch": V,
+                "ms_per_call": round(dt * 1e3, 2),
+                "frames_per_sec": round(fps),
+                "mfu_pct": round(100 * fps * wpf * MLP_FLOPS / 197e12, 2),
+                "binary_agreement": agree,
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,7 @@ def _infer_batch(
     normalization: float,
     classify_thresh: float,
     use_pallas: bool = False,
+    precision: str = "high",
 ):
     """(V, F, 25, 3) → ((V, F, 4) contacts, (V, N, P, 4) probs).
 
@@ -72,7 +73,8 @@ def _infer_batch(
 
         logits = fused_mlp(folded, flat, pred_size)
     else:
-        logits = contact_mlp.apply_folded(folded, flat, pred_size)
+        logits = contact_mlp.apply_folded(folded, flat, pred_size,
+                                          precision=precision)
     probs = jax.nn.sigmoid(logits).reshape(V, N, pred_size, 4)
     preds = (probs > classify_thresh).astype(jnp.float32)
     contacts = voting.merge_votes_batch(preds, window_size)

@@ -251,7 +251,110 @@ def gen_ck_ik_golden():
     print("ck_ik_golden.npz")
 
 
+def gen_trajectory_golden():
+    """Whole-solution golden for the full kinematic stage: the reference's
+    optimize_trajectory (200-iter CK-IK init, stage-1 LM, Huber floor fit +
+    contact pruning, stage-2 LM — optimize_trajectory.py:522-833) run ONCE
+    on deterministic synthetic evidence, inputs and final solution frozen.
+    Closes the gap between "same residuals" (test_trajectory.py) and "same
+    optimum"."""
+    import jax.numpy as jnp
+
+    # numpy>=1.24 removed the np.float alias the reference uses for the
+    # no-given-floor branch (optimize_trajectory.py:533-534)
+    if not hasattr(np, "float"):
+        np.float = float
+
+    import BVH as RefBVH
+    import optimize_trajectory as ref_traj
+
+    from chd_tpu.characters import defs
+    from chd_tpu.core import bvh
+    from chd_tpu.kinematics import trajectory as traj_lib
+    from chd_tpu.kinematics.residuals import data_order_positions
+
+    F = 16
+    rng = np.random.default_rng(7)
+    skel, names, _ = bvh.load(f"{REF}/src/skeleton_fitting/combined_body_25.bvh")
+    J = skel.num_joints
+
+    # smooth ground-truth motion → rendered 3D/2D evidence (cm units, the
+    # combined-skeleton scale) — same generator family as the e2e test
+    e0 = rng.uniform(-0.2, 0.2, size=(J, 3))
+    e1 = e0 + rng.uniform(-0.15, 0.15, size=(J, 3))
+    t = np.linspace(0, 1, F)[:, None, None]
+    es_true = (1 - t) * e0[None] + t * e1[None]
+    root_true = np.stack(
+        [np.linspace(0, 12, F), np.full(F, -95.0), np.linspace(380, 390, F)],
+        axis=1,
+    )
+    x_true = np.concatenate([root_true, es_true.reshape(F, -1)], axis=1)
+    y, r = data_order_positions(
+        jnp.asarray(x_true, jnp.float64).reshape(F, -1),
+        jnp.asarray(skel.offsets, jnp.float64), skel.parents,
+    )
+    pose3d = np.array(y, np.float64)
+    pose3d[:, defs.COMBINED_ROOT_IDX] = 0.0
+    world = np.array(y + r[:, None], np.float64)
+    world[:, defs.COMBINED_ROOT_IDX] = np.asarray(r)
+
+    fx, fy = defs.MTC_FOCAL
+    cx, cy = defs.MTC_PP
+    pose2d = np.stack(
+        [fx * world[..., 0] / world[..., 2] + cx,
+         fy * world[..., 1] / world[..., 2] + cy], axis=-1,
+    )
+    conf = np.ones((F, 28))
+    conf[:, 25:] = 0.0
+    pose3d_noisy = pose3d + rng.normal(size=pose3d.shape) * 1.0
+    pose3d_noisy[:, defs.COMBINED_ROOT_IDX] = 0.0
+
+    fc = np.ones((F, 4), int)  # both feet planted (near-constant height)
+    vel_constraints = traj_lib.contacts_to_vel_constraints(fc)
+    smpl_angles = -es_true  # crude axis-angle-ish init; IK does the real work
+
+    ref_skel, ref_names, _ = RefBVH.load(
+        f"{REF}/src/skeleton_fitting/combined_body_25.bvh"
+    )
+    out_dir = tempfile.mkdtemp()
+    anim, new_pose3d, proj2d, plane_n, plane_p, vc_out = ref_traj.optimize_trajectory(
+        pose2d.copy(), conf.copy(), pose3d_noisy.copy(), root_true.copy(),
+        smpl_angles.copy(), ref_skel, ref_names,
+        cx, cy, np.array([fx, fy]), vel_constraints.copy().astype(float),
+        save_dir=out_dir,
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    np.savez_compressed(
+        os.path.join(FIXTURES, "trajectory_golden.npz"),
+        pose2d=pose2d, conf=conf, pose3d=pose3d_noisy, root=root_true,
+        smpl_angles=smpl_angles, vel_constraints=vel_constraints,
+        cam_focal=np.array([fx, fy]), cam_pp=np.array([cx, cy]),
+        # template skeleton frozen so the test needs no reference mount
+        skel_rotations=np.asarray(skel.rotations),
+        skel_positions=np.asarray(skel.positions),
+        skel_orients=np.asarray(skel.orients),
+        skel_offsets=np.asarray(skel.offsets),
+        skel_parents=np.asarray(skel.parents),
+        out_euler=np.asarray(anim.rotations.euler()),
+        out_root=np.asarray(anim.positions[:, 0]),
+        out_pose3d=np.asarray(new_pose3d),
+        out_proj2d=np.asarray(proj2d),
+        out_plane_normal=np.asarray(plane_n),
+        out_plane_point=np.asarray(plane_p),
+        out_vel_constraints=np.asarray(vc_out),
+    )
+    print("trajectory_golden.npz")
+
+
 if __name__ == "__main__":
-    gen_contact_golden()
-    gen_prepare_input_goldens()
-    gen_ck_ik_golden()
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    gens = {
+        "contact": gen_contact_golden,
+        "prepare_input": gen_prepare_input_goldens,
+        "ck_ik": gen_ck_ik_golden,
+        "trajectory": gen_trajectory_golden,
+    }
+    for name, fn in gens.items():
+        if only is None or name == only:
+            fn()

@@ -106,6 +106,64 @@ def test_prepare_input_matches_golden(tmp_path, tag, character, combined_contact
 # skeleton (reference ik/InverseKinematics.py:326-576)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# BASELINE config #3: full kinematic stage, solution-level
+# (reference optimize_trajectory.py:522-833 — CK-IK init, 2 LM stages,
+# Huber floor fit + contact pruning — frozen output vs our solver)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow  # full staged kinematic solve (~2 min compile+run on CPU)
+def test_trajectory_solution_matches_golden():
+    from chd_tpu.core.animation import Animation
+    from chd_tpu.kinematics import trajectory as traj_lib
+    from chd_tpu.kinematics.lm import LMConfig
+
+    path = os.path.join(FIXTURES, "trajectory_golden.npz")
+    g = np.load(path)
+    parents = [int(p) for p in g["skel_parents"]]
+    skel = Animation(
+        g["skel_rotations"], g["skel_positions"], g["skel_orients"],
+        g["skel_offsets"], parents,
+    )
+
+    res = traj_lib.optimize_trajectory(
+        g["pose2d"], g["conf"], g["pose3d"], g["root"], g["smpl_angles"],
+        skel, g["vel_constraints"].astype(float),
+        cam_focal=tuple(g["cam_focal"]), cam_pp=tuple(g["cam_pp"]),
+        lm_cfg=LMConfig(max_iters=50, cg_iters=100),
+    )
+
+    # Different optimizers (reference: scipy TRF/lsmr, max_nfev=50; ours:
+    # AL-free LM/PCG) land on nearby optima of the same objective, not
+    # identical iterates — tolerances are solution-level, in the problem's
+    # units (cm / pixels).
+    F = g["pose2d"].shape[0]
+
+    # same fitted floor: normals within ~2°, planes within 2 cm where the
+    # contact feet actually are
+    n_ref, p_ref = g["out_plane_normal"], g["out_plane_point"]
+    n_got, p_got = np.asarray(res.floor_normal), np.asarray(res.floor_point)
+    cos = abs(float(n_got @ n_ref))
+    assert cos > 0.9994, f"floor normals differ: cos={cos}"  # <2 deg
+    # evaluate both planes at the reference's contact-feet footprint
+    assert abs(float((p_got - p_ref) @ n_ref)) < 2.0, "floor offset > 2 cm"
+
+    # same pruned contacts
+    np.testing.assert_array_equal(
+        res.vel_constraints.astype(int), g["out_vel_constraints"].astype(int)
+    )
+
+    # solution trajectories agree to ~cm on a ~190 cm skeleton
+    err = np.linalg.norm(res.pose3d - g["out_pose3d"], axis=-1)  # (F, 28) cm
+    assert err.mean() < 2.0, f"mean joint error {err.mean():.2f} cm"
+    assert np.median(err) < 2.0
+
+    # reprojection agreement in pixels @1920x1080
+    perr = np.linalg.norm(res.proj2d - g["out_proj2d"], axis=-1)
+    mask = g["conf"] > 0.2
+    assert np.median(perr[mask]) < 4.0, np.median(perr[mask])
+
+
 def test_ck_ik_matches_golden():
     from chd_tpu.core import quat
     from chd_tpu.core.animation import Animation
