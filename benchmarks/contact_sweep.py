@@ -84,6 +84,49 @@ def main():
     kp_check = synth(2)
     want = oracle_contacts(kp_check)
 
+    # stage decomposition at a fixed batch: time the MLP alone on pre-built
+    # features vs the full fused graph, so the roofline statement ("MLP-bound
+    # vs featurization-bound") is measured, not assumed
+    def featurize_only(kp_in):
+        from chd_tpu.characters import defs as cdefs
+        from chd_tpu.ops import gapfill, windows
+
+        x = jax.vmap(
+            lambda o: gapfill.preprocess_keypoints(
+                o, 0.2, infer.TRAIN_NORMALIZATION)
+        )(kp_in[:, :, jnp.asarray(SUBSET), :])
+        return windows.featurize_batch(x, W, SUBSET.index(8), True)
+
+    V_dec = 1024
+    kp_dec = jnp.asarray(synth(V_dec))
+    feat_fn = jax.jit(featurize_only)
+    feats = feat_fn(kp_dec)
+    jax.block_until_ready(feats)
+    flat = feats.reshape((-1,) + feats.shape[2:])
+
+    def time_it(g, *a, n_iter=5):
+        out = g(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = g(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_iter
+
+    from chd_tpu.models.contact_mlp import apply_folded
+
+    mlp_fn = jax.jit(functools.partial(apply_folded, pred_size=P,
+                                       precision="high"))
+    t_feat = time_it(feat_fn, kp_dec)
+    t_mlp = time_it(lambda x: mlp_fn(folded, x), flat)
+    print(json.dumps({
+        "decomposition": True, "batch": V_dec,
+        "featurize_ms": round(t_feat * 1e3, 2),
+        "mlp_ms": round(t_mlp * 1e3, 2),
+        "mlp_tflops": round(
+            V_dec * (F - W + 1) * MLP_FLOPS / t_mlp / 1e12, 2),
+    }), flush=True)
+
     for precision in ["high", "default", "highest", "pallas"]:
         use_pallas = precision == "pallas"
         prec = None if precision == "default" else ("high" if use_pallas else precision)
@@ -95,7 +138,14 @@ def main():
             classify_thresh=0.5, use_pallas=use_pallas, precision=prec,
         ))
         c2, _ = fn(jnp.asarray(kp_check), folded)
+        # the binary-decision tripwire runs once per precision on the fixed
+        # 2-video check set — emitted as its own line (it is NOT a
+        # per-batch-size verification)
         agree = float((np.asarray(c2) == want).mean())
+        print(json.dumps({
+            "precision": precision, "binary_agreement": agree,
+            "check_videos": int(kp_check.shape[0]),
+        }), flush=True)
         for V in [128, 512, 1024, 2048]:
             kp = jnp.asarray(synth(V))
             c, p = fn(kp, folded)  # compile
@@ -113,7 +163,6 @@ def main():
                 "ms_per_call": round(dt * 1e3, 2),
                 "frames_per_sec": round(fps),
                 "mfu_pct": round(100 * fps * wpf * MLP_FLOPS / 197e12, 2),
-                "binary_agreement": agree,
             }), flush=True)
 
 

@@ -57,8 +57,16 @@ def _infer_batch(
         batch) instead of lane-starved per-video shifted adds.
     """
     V = op_batch.shape[0]
-    subset = jnp.asarray(list(joint_subset))
-    root_in_subset = list(joint_subset).index(defs.OP_ROOT_JOINT)
+    # Subsets lacking the root joint (lower_knees/…/upper) still normalize
+    # root-relative: featurize subset+[root] and drop the root column after —
+    # the reference root-normalizes the full 25-joint array before subsetting
+    # (openpose_dataset.py:329-337), so the root slot is discarded there too.
+    joints = list(joint_subset)
+    root_appended = defs.OP_ROOT_JOINT not in joints
+    if root_appended:
+        joints = joints + [defs.OP_ROOT_JOINT]
+    subset = jnp.asarray(joints)
+    root_in_subset = joints.index(defs.OP_ROOT_JOINT)
 
     x = jax.vmap(
         lambda o: gapfill.preprocess_keypoints(o, conf_thresh, normalization)
@@ -66,6 +74,8 @@ def _infer_batch(
     feats = windows.featurize_batch(
         x, window_size, root_in_subset, use_confidence
     )  # (V, N, W, J, C)
+    if root_appended:
+        feats = feats[:, :, :, :-1, :]
     N = feats.shape[1]
     flat = feats.reshape((V * N,) + feats.shape[2:])
     if use_pallas:

@@ -134,36 +134,26 @@ def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg, lm_solver="pcg"):
     return x2, normals, points, vc2, rot_q, y_b, root_b
 
 
-def optimize_trajectory_batch(
+def prepare_batch_arrays(
     problems: Sequence[dict],
     skeleton: Animation,
     cam_focal=defs.MTC_FOCAL,
     cam_pp=defs.MTC_PP,
-    ik_iterations: int = 200,
-    lm_cfg: LMConfig = LMConfig(max_iters=50, cg_iters=100),
-    mesh=None,
     dtype=jnp.float32,
-    ik_solver: str = "cg",  # measured 19x faster than chunked LU on v5e
-    # (200-iter batch-16 IK: 0.74s cg vs 13.9s lu — the lax.map'd LU chunks
-    # serialize; CG's batched 84x84 matvecs stay on the MXU). "lu" remains
-    # available for bit-exactness vs the reference's per-frame lu_solve.
-    lm_solver: str = "pcg",  # "banded" = exact block-pentadiagonal direct
-    # inner solve (see kinematics/banded.py)
-) -> List[traj_lib.TrajectoryResult]:
-    """problems: per-sequence dicts with keys pose2d (F,28,2), conf2d (F,28),
-    pose3d (F,28,3), root_pos (F,3), smpl_angles (F,J,3),
-    vel_constraints (F,28). Returns per-sequence TrajectoryResults (trimmed
-    to true lengths)."""
+):
+    """Host-side per-sequence prep: bone fit + weights + padding, stacked
+    into the arrs dict :func:`_refine_core` consumes. Padded frames carry
+    zero weights/constraints AND a zero frame mask, so they contribute no
+    residuals (and no floor-fit points) whatsoever. Returns (arrs, F).
+
+    Exposed so bench.py can lower ``_refine_core`` on real inputs for
+    cost_analysis()-based FLOP accounting."""
     parents = tuple(skeleton.parents)
     J = skeleton.num_joints
     s2d = np.asarray(defs.COMBINED_SKEL_TO_DATA)
-    B = len(problems)
     lens = [p["pose2d"].shape[0] for p in problems]
     F = max(lens)
 
-    # host-side per-sequence prep: bone fit + weights + padding. Padded
-    # frames carry zero weights/constraints AND a zero frame mask, so they
-    # contribute no residuals (and no floor-fit points) whatsoever.
     stacked = {k: [] for k in [
         "pose3d", "root", "p2dn", "pw", "dw", "vc", "offsets", "rot0", "pos0", "fmask"]}
     for p in problems:
@@ -186,7 +176,35 @@ def optimize_trajectory_batch(
         stacked["rot0"].append(_pad_frames(rot0, F))
         stacked["pos0"].append(_pad_frames(pos0, F))
         stacked["fmask"].append(zeros_after)
-    arrs = {k: jnp.asarray(np.stack(v), dtype) for k, v in stacked.items()}
+    return {k: jnp.asarray(np.stack(v), dtype) for k, v in stacked.items()}, F
+
+
+def optimize_trajectory_batch(
+    problems: Sequence[dict],
+    skeleton: Animation,
+    cam_focal=defs.MTC_FOCAL,
+    cam_pp=defs.MTC_PP,
+    ik_iterations: int = 200,
+    lm_cfg: LMConfig = LMConfig(max_iters=50, cg_iters=100),
+    mesh=None,
+    dtype=jnp.float32,
+    ik_solver: str = "cg",  # measured 19x faster than chunked LU on v5e
+    # (200-iter batch-16 IK: 0.74s cg vs 13.9s lu — the lax.map'd LU chunks
+    # serialize; CG's batched 84x84 matvecs stay on the MXU). "lu" remains
+    # available for bit-exactness vs the reference's per-frame lu_solve.
+    lm_solver: str = "pcg",  # "banded" = exact block-pentadiagonal direct
+    # inner solve (see kinematics/banded.py)
+) -> List[traj_lib.TrajectoryResult]:
+    """problems: per-sequence dicts with keys pose2d (F,28,2), conf2d (F,28),
+    pose3d (F,28,3), root_pos (F,3), smpl_angles (F,J,3),
+    vel_constraints (F,28). Returns per-sequence TrajectoryResults (trimmed
+    to true lengths)."""
+    parents = tuple(skeleton.parents)
+    J = skeleton.num_joints
+    lens = [p["pose2d"].shape[0] for p in problems]
+    arrs, F = prepare_batch_arrays(
+        problems, skeleton, cam_focal=cam_focal, cam_pp=cam_pp, dtype=dtype
+    )
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

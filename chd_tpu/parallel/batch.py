@@ -166,12 +166,7 @@ def solve_physics_durations_batch(
     result, batched violation stats, per-sequence durations_ok flags —
     callers keep the stage-2 result where ok is False, the reference's
     fallback rule)."""
-    B, F = phys_batch.base_lin.shape[:2]
-    dtype = phys_batch.base_lin.dtype
     spec_b = pad_duration_specs(phys_batch)
-    P = int(spec_b.durations.shape[-1])
-    dof_d = 4 * P
-    n_traj = F * collocation.DOF
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
@@ -180,6 +175,28 @@ def solve_physics_durations_batch(
             lambda a: jax.device_put(a, NamedSharding(mesh, Pspec("data"))), t
         )
         phys_batch, stage2, spec_b = put(phys_batch), put(stage2), put(spec_b)
+
+    res, stats, ok = durations_core(phys_batch, stage2, spec_b, weights, cfg)
+    return res, stats, np.asarray(ok)
+
+
+def durations_core(
+    phys_batch: PhysInput,
+    stage2: PhysResult,
+    spec_b: dur_lib.DurationSpec,
+    weights: PhysWeights = PhysWeights(),
+    cfg: collocation.SolveConfig = collocation.SolveConfig(),
+):
+    """Traceable stage-3/4 body (no host round-trips): jit-wrap together with
+    solve_physics_batch to lower the WHOLE staged solve into one executable —
+    bench.py uses this for cost_analysis()-based FLOP/MFU accounting.
+    ``spec_b`` comes from :func:`pad_duration_specs` (host-side, needs
+    concrete contact schedules). Returns ok as a device bool array."""
+    B, F = phys_batch.base_lin.shape[:2]
+    dtype = phys_batch.base_lin.dtype
+    P = int(spec_b.durations.shape[-1])
+    dof_d = 4 * P
+    n_traj = F * collocation.DOF
 
     dyn_cost = collocation.CostW(
         weights.w_com_lin, weights.w_com_ang, weights.w_ee,
@@ -252,7 +269,7 @@ def solve_physics_durations_batch(
         stats["terrain"] <= jnp.maximum(2.0 * old_stats["terrain"], 0.02),
     )
     res = jax.vmap(collocation._to_result)(x4, phys_new)
-    return res, stats, np.asarray(ok)
+    return res, stats, ok
 
 
 def unbatch_results(res: PhysResult, seq_lens) -> List[PhysResult]:

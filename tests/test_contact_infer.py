@@ -63,6 +63,52 @@ def oracle_contacts(kp, model, subset, pad_to=None):
     return contacts, stable
 
 
+def test_rootless_joint_subset_matches_featurize_video():
+    """Joint sets lacking the root joint (e.g. lower_ankles) must still
+    root-normalize against joint 8 — the reference normalizes the full
+    25-joint array before subsetting (openpose_dataset.py:329-340), so the
+    root never needs to survive into the model input."""
+    import jax
+    import jax.numpy as jnp
+
+    from chd_tpu.models import contact_mlp
+    from chd_tpu.ops import gapfill, windows
+
+    subset = OP_JOINT_SUBSETS["lower_ankles"]
+    assert 8 not in subset
+    rng = np.random.default_rng(3)
+    F = 40
+    kp = np.zeros((F, 25, 3), np.float32)
+    kp[..., 0] = rng.uniform(300, 900, size=(F, 25))
+    kp[..., 1] = rng.uniform(100, 600, size=(F, 25))
+    kp[..., 2] = rng.uniform(0.3, 1.0, size=(F, 25))
+
+    cfg = contact_mlp.ModelConfig(W, len(subset), P, 3)
+    params, state = contact_mlp.init(jax.random.PRNGKey(0), cfg)
+    folded = contact_mlp.fold_batchnorm(params, state)
+    folded = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), folded)
+
+    contacts, probs = infer._infer_batch(
+        jnp.asarray(kp)[None], folded,
+        window_size=W, pred_size=P, joint_subset=tuple(subset),
+        use_confidence=True, conf_thresh=0.2,
+        normalization=infer.TRAIN_NORMALIZATION, classify_thresh=0.5,
+    )
+
+    # reference path: preprocess full 25 joints, window+root-normalize, subset
+    x = gapfill.preprocess_keypoints(
+        jnp.asarray(kp), 0.2, infer.TRAIN_NORMALIZATION
+    )
+    feats = windows.featurize_video(x, W, subset, root_joint=8)
+    logits = contact_mlp.apply_folded(
+        folded, feats, P, precision="high"
+    )
+    probs_ref = jax.nn.sigmoid(logits).reshape(1, -1, P, 4)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_ref),
+                               atol=1e-6)
+    assert contacts.shape == (1, F, 4)
+
+
 def test_detect_contacts_end_to_end(tmp_path):
     rng = np.random.default_rng(0)
     model = build_torch_model()

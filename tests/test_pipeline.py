@@ -137,6 +137,42 @@ def test_full_pipeline(tmp_path, cfg):
     assert anim.num_joints == 67
 
 
+@pytest.mark.slow
+def test_full_pipeline_real_fps(tmp_path, cfg):
+    """Real-fps metadata drives the physics dt end-to-end (VERDICT r3 #6).
+
+    A dance1-layout video dir — the REAL 23.976-fps clip plus synthetic
+    1920x1080 keypoints and MTC results — must land dt = 1/24 in the towr
+    input files and every sol_out_* header; the reference threads --fps the
+    same way (run_phys_mocap.py:88-89 → towr_utils.py:899-1039). Nothing in
+    this test assumes the 30-fps config default.
+    """
+    import shutil
+
+    from chd_tpu.physics import towr_io
+
+    clip = "/root/reference/data/example_data/dance1/dance1.mp4"
+    if not os.path.isfile(clip):
+        pytest.skip("reference example video not mounted")
+
+    vd = synthesize_video_dir(tmp_path)
+    shutil.copyfile(clip, os.path.join(vd, os.path.basename(vd) + ".mp4"))
+    assert cfg.probe_fps  # default on; the clip, not the config, sets dt
+
+    run_kinematic_stage(vd, cfg)
+    run_retarget_stage(vd, cfg, skel_bvh=YBOT_BVH)
+    res = run_physics_stage(vd, cfg)
+
+    with open(os.path.join(vd, "phys_optim_in_ybot", "motion_info.txt")) as f:
+        dt_in = float(f.readline())
+    assert abs(dt_in - 1.0 / 24.0) < 1e-9, dt_in
+
+    for label in ["no_dynamics", "dynamics", "durations"]:
+        loaded = towr_io.load_results(
+            os.path.join(res["out_dir"], f"sol_out_{label}.txt"))
+        assert abs(loaded.dt - 1.0 / 24.0) < 1e-6, (label, loaded.dt)
+
+
 def test_config_roundtrip_and_override():
     cfg = PipelineConfig()
     text = cfg.to_json()
