@@ -117,25 +117,36 @@ def main():
 
     mlp_fn = jax.jit(functools.partial(apply_folded, pred_size=P,
                                        precision="high"))
+    mlp_bf16 = jax.jit(functools.partial(apply_folded, pred_size=P,
+                                         precision=None))
+    folded_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), folded)
+    flat_bf16 = flat.astype(jnp.bfloat16)
     t_feat = time_it(feat_fn, kp_dec)
     t_mlp = time_it(lambda x: mlp_fn(folded, x), flat)
+    t_mlp_bf16 = time_it(lambda x: mlp_bf16(folded_bf16, x), flat_bf16)
     print(json.dumps({
         "decomposition": True, "batch": V_dec,
         "featurize_ms": round(t_feat * 1e3, 2),
         "mlp_ms": round(t_mlp * 1e3, 2),
+        "mlp_bf16_ms": round(t_mlp_bf16 * 1e3, 2),
         "mlp_tflops": round(
             V_dec * (F - W + 1) * MLP_FLOPS / t_mlp / 1e12, 2),
+        "mlp_bf16_tflops": round(
+            V_dec * (F - W + 1) * MLP_FLOPS / t_mlp_bf16 / 1e12, 2),
     }), flush=True)
 
-    for precision in ["high", "default", "highest", "pallas"]:
+    for precision in ["high", "default", "highest", "bf16", "pallas"]:
         use_pallas = precision == "pallas"
-        prec = None if precision == "default" else ("high" if use_pallas else precision)
+        prec = None if precision in ("default", "bf16") else (
+            "high" if use_pallas else precision)
+        mlp_dtype = jnp.bfloat16 if precision == "bf16" else None
         fn = jax.jit(functools.partial(
             infer._infer_batch,
             window_size=W, pred_size=P,
             joint_subset=tuple(SUBSET), use_confidence=True,
             conf_thresh=0.2, normalization=infer.TRAIN_NORMALIZATION,
             classify_thresh=0.5, use_pallas=use_pallas, precision=prec,
+            mlp_dtype=mlp_dtype,
         ))
         c2, _ = fn(jnp.asarray(kp_check), folded)
         # the binary-decision tripwire runs once per precision on the fixed

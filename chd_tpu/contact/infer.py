@@ -41,6 +41,7 @@ def _infer_batch(
     classify_thresh: float,
     use_pallas: bool = False,
     precision: str = "high",
+    mlp_dtype=None,
 ):
     """(V, F, 25, 3) → ((V, F, 4) contacts, (V, N, P, 4) probs).
 
@@ -78,6 +79,12 @@ def _infer_batch(
         feats = feats[:, :, :, :-1, :]
     N = feats.shape[1]
     flat = feats.reshape((V * N,) + feats.shape[2:])
+    if mlp_dtype is not None:
+        # storage-level low precision: halves the activation HBM traffic AND
+        # runs single-pass MXU matmuls (vs "high" = 3-pass bf16); gated by
+        # the binary-decision tripwire in benchmarks/contact_sweep.py
+        flat = flat.astype(mlp_dtype)
+        folded = jax.tree.map(lambda a: a.astype(mlp_dtype), folded)
     if use_pallas:
         from ..ops.pallas_mlp import fused_mlp
 
@@ -85,6 +92,7 @@ def _infer_batch(
     else:
         logits = contact_mlp.apply_folded(folded, flat, pred_size,
                                           precision=precision)
+    logits = logits.astype(jnp.float32)
     probs = jax.nn.sigmoid(logits).reshape(V, N, pred_size, 4)
     preds = (probs > classify_thresh).astype(jnp.float32)
     contacts = voting.merge_votes_batch(preds, window_size)
