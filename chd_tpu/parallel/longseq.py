@@ -289,14 +289,20 @@ def probe_grad_diag(
     mesh: Mesh,
     axis: str = "data",
     dtype=jnp.float32,
+    with_diag: bool = True,
 ):
     """(cost, Jᵀr, diag(JᵀJ)) at x0 from the sharded evaluation — the LM
     step's linear-algebra building blocks, for element-wise equality tests
     against the single-device path (the full iterate sequence is chaotic on
-    ill-conditioned problems, these are not)."""
+    ill-conditioned problems, these are not).
+
+    ``with_diag=False`` skips the colored diag(JᵀJ) (the double-autodiff
+    part, by far the largest compile) and returns diag=None — used by the
+    driver dryrun, whose wall budget can't fit the full graph; the diag
+    path stays certified by tests/test_longseq.py."""
     cfg = LMConfig(max_iters=0, cg_iters=1)
     _, _, aux = _solve_impl(x0, data, w, parents, mesh, axis, cfg, dtype,
-                            want_probe=True)
+                            want_probe=True, probe_diag=with_diag)
     return aux
 
 
@@ -315,6 +321,7 @@ def _solve_impl(
     cfg: LMConfig = LMConfig(),
     dtype=jnp.float32,
     want_probe: bool = False,
+    probe_diag: bool = True,
 ):
     """LM over one sequence with the FRAME axis sharded over ``mesh[axis]``.
 
@@ -373,8 +380,11 @@ def _solve_impl(
         shard_map,
         mesh=mesh,
         in_specs=(shard_spec, shard_spec, shard_spec),
-        out_specs=(shard_spec, rep, shard_spec, shard_spec)
-        if want_probe else (shard_spec, rep),
+        out_specs=(
+            ((shard_spec, rep, shard_spec, shard_spec) if probe_diag
+             else (shard_spec, rep, shard_spec))
+            if want_probe else (shard_spec, rep)
+        ),
         check_vma=False,
     )
     def solve(x_own, d_own, fm_own):
@@ -483,12 +493,12 @@ def _solve_impl(
 
         if want_probe:
             r0 = res_own(x_own)
-            return (
+            out = (
                 x_own,
                 0.5 * jax.lax.psum(jnp.vdot(r0, r0), axis),
                 grad_fn(x_own, r0),
-                diag_of(x_own),
             )
+            return out + (diag_of(x_own),) if probe_diag else out
 
         init = (x_own, jnp.asarray(cfg.init_lambda, x_own.dtype), cost(x_own))
         (x, _, c), _ = jax.lax.scan(step, init, None, length=cfg.max_iters)
@@ -505,10 +515,17 @@ def _solve_impl(
     d_sh = put(d_own, shard_spec)
     fm_sh = put(data_p.frame_mask, shard_spec)
 
+    # jit the shard_map'd body: called eagerly, shard_map dispatches every
+    # primitive separately across the mesh (measured 232 s for the probe on
+    # the 8-virtual-device CPU mesh vs 15 s trace+compile+run under jit)
+    solve = jax.jit(solve)
     if want_probe:
-        _, c, g, diag = solve(x_sh, d_sh, fm_sh)
-        return None, float(c), (
-            float(c), np.asarray(g)[:F], np.asarray(diag)[:F]
-        )
+        if probe_diag:
+            _, c, g, diag = solve(x_sh, d_sh, fm_sh)
+            return None, float(c), (
+                float(c), np.asarray(g)[:F], np.asarray(diag)[:F]
+            )
+        _, c, g = solve(x_sh, d_sh, fm_sh)
+        return None, float(c), (float(c), np.asarray(g)[:F], None)
     x_out, c = solve(x_sh, d_sh, fm_sh)
     return np.asarray(x_out)[:F], float(c), None
