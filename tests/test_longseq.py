@@ -130,14 +130,19 @@ def test_sharded_residual_cost_exact():
     (checks halo exchange + ownership masking with zero LM iterations)."""
     w = TermWeights()
     cfg = LMConfig(max_iters=0, cg_iters=1)  # no steps: c = cost(x0)
-    x0, data, parents = make_problem(16, seed=9)
+    # f64: in f32 the jitted shard_map body's fusion/reassociation rounds
+    # the psum'd cost ~7e-5 relative on this problem's 1e14-scale cost —
+    # the equality claim is about halo/ownership structure, so assert it
+    # in a dtype where rounding can't mask (or mimic) a structural bug
+    x0, data, parents = make_problem(16, dtype=jnp.float64, seed=9)
     mesh = mesh_lib.make_mesh(n_devices=8, model=1)
     _, c_sh = longseq.lm_solve_frame_sharded(
-        x0, data, w, parents, mesh, axis="data", cfg=cfg
+        x0, data, w, parents, mesh, axis="data", cfg=cfg, dtype=jnp.float64
     )
-    r = trajectory_residuals(jnp.asarray(x0.reshape(-1)), data, w, parents)
+    r = trajectory_residuals(
+        jnp.asarray(x0.reshape(-1), jnp.float64), data, w, parents)
     c_ref = 0.5 * float(jnp.vdot(r, r))
-    np.testing.assert_allclose(float(c_sh), c_ref, rtol=1e-5)
+    np.testing.assert_allclose(float(c_sh), c_ref, rtol=1e-9)
 
 
 def test_full_refinement_frame_sharded():
