@@ -135,18 +135,20 @@ def main():
             V_dec * (F - W + 1) * MLP_FLOPS / t_mlp_bf16 / 1e12, 2),
     }), flush=True)
 
-    for precision in ["high", "default", "highest", "bf16", "pallas"]:
+    for precision in ["high", "default", "highest", "bf16", "pallas",
+                      "conv", "conv_bf16"]:
         use_pallas = precision == "pallas"
-        prec = None if precision in ("default", "bf16") else (
-            "high" if use_pallas else precision)
-        mlp_dtype = jnp.bfloat16 if precision == "bf16" else None
+        use_conv = precision.startswith("conv")
+        prec = None if precision in ("default", "bf16", "conv_bf16") else (
+            "high" if use_pallas or precision == "conv" else precision)
+        mlp_dtype = jnp.bfloat16 if precision.endswith("bf16") else None
         fn = jax.jit(functools.partial(
             infer._infer_batch,
             window_size=W, pred_size=P,
             joint_subset=tuple(SUBSET), use_confidence=True,
             conf_thresh=0.2, normalization=infer.TRAIN_NORMALIZATION,
             classify_thresh=0.5, use_pallas=use_pallas, precision=prec,
-            mlp_dtype=mlp_dtype,
+            mlp_dtype=mlp_dtype, use_conv=use_conv,
         ))
         c2, _ = fn(jnp.asarray(kp_check), folded)
         # the binary-decision tripwire runs once per precision on the fixed

@@ -42,6 +42,7 @@ def _infer_batch(
     use_pallas: bool = False,
     precision: str = "high",
     mlp_dtype=None,
+    use_conv: bool = False,
 ):
     """(V, F, 25, 3) → ((V, F, 4) contacts, (V, N, P, 4) probs).
 
@@ -72,26 +73,49 @@ def _infer_batch(
     x = jax.vmap(
         lambda o: gapfill.preprocess_keypoints(o, conf_thresh, normalization)
     )(op_batch[:, :, subset, :])
-    feats = windows.featurize_batch(
-        x, window_size, root_in_subset, use_confidence
-    )  # (V, N, W, J, C)
-    if root_appended:
-        feats = feats[:, :, :, :-1, :]
-    N = feats.shape[1]
-    flat = feats.reshape((V * N,) + feats.shape[2:])
     if mlp_dtype is not None:
         # storage-level low precision: halves the activation HBM traffic AND
         # runs single-pass MXU matmuls (vs "high" = 3-pass bf16); gated by
         # the binary-decision tripwire in benchmarks/contact_sweep.py
-        flat = flat.astype(mlp_dtype)
         folded = jax.tree.map(lambda a: a.astype(mlp_dtype), folded)
-    if use_pallas:
-        from ..ops.pallas_mlp import fused_mlp
-
-        logits = fused_mlp(folded, flat, pred_size)
+    if use_conv and not use_pallas:
+        # window featurization + layer 1 folded into ONE temporal conv over
+        # raw frames (ops.windows.layer1_conv_kernel): the 9×-materialized
+        # (V, N, W, J, C) window tensor never exists
+        J = len(joints)
+        Jm = J - 1 if root_appended else J
+        u = x.reshape(V, x.shape[1], J * 3)
+        if mlp_dtype is not None:
+            u = u.astype(mlp_dtype)
+        K = windows.layer1_conv_kernel(
+            folded["w"][0], window_size, J, root_in_subset, Jm, use_confidence
+        )
+        h = jax.lax.conv_general_dilated(
+            u, K, (1,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=None if precision is None else jax.lax.Precision(precision),
+        ) + folded["b"][0]
+        N = h.shape[1]
+        h = jax.nn.relu(h).reshape(V * N, -1)
+        logits = contact_mlp.apply_folded_tail(folded, h, pred_size,
+                                               precision=precision)
     else:
-        logits = contact_mlp.apply_folded(folded, flat, pred_size,
-                                          precision=precision)
+        feats = windows.featurize_batch(
+            x, window_size, root_in_subset, use_confidence
+        )  # (V, N, W, J, C)
+        if root_appended:
+            feats = feats[:, :, :, :-1, :]
+        N = feats.shape[1]
+        flat = feats.reshape((V * N,) + feats.shape[2:])
+        if mlp_dtype is not None:
+            flat = flat.astype(mlp_dtype)
+        if use_pallas:
+            from ..ops.pallas_mlp import fused_mlp
+
+            logits = fused_mlp(folded, flat, pred_size)
+        else:
+            logits = contact_mlp.apply_folded(folded, flat, pred_size,
+                                              precision=precision)
     logits = logits.astype(jnp.float32)
     probs = jax.nn.sigmoid(logits).reshape(V, N, pred_size, 4)
     preds = (probs > classify_thresh).astype(jnp.float32)

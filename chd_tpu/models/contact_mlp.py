@@ -170,3 +170,16 @@ def apply_folded(folded: Dict, x, pred_size: int, precision="high"):
         if i < n - 1:
             h = jax.nn.relu(h)
     return h.reshape(B, pred_size, 4)
+
+
+def apply_folded_tail(folded: Dict, h, pred_size: int, precision="high"):
+    """Layers 1..n of the folded chain on precomputed first-layer
+    activations ``h`` (B, hidden0) — used by the conv-fused inference path
+    (ops.windows.layer1_conv_kernel), which computes layer 0 as a temporal
+    convolution over raw frames."""
+    n = len(folded["w"])
+    for i in range(1, n):
+        h = jnp.dot(h, folded["w"][i].T, precision=precision) + folded["b"][i]
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    return h.reshape(h.shape[0], pred_size, 4)

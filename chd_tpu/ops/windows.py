@@ -76,6 +76,55 @@ def featurize_batch(
     return jnp.concatenate([xy, wins[..., 2:]], axis=-1)
 
 
+def layer1_conv_kernel(
+    w1,
+    window_size: int,
+    n_joints: int,
+    root_idx: int,
+    n_model_joints: int,
+    use_confidence: bool = True,
+):
+    """Fold window featurization + the MLP's first layer into ONE temporal
+    conv kernel — the window tensor is never materialized.
+
+    The featurized window is linear in the per-frame keypoints: every xy
+    entry is ``u[n+w, j, c] - r[n, c]`` with ``r[n, c] = u[n+mid, root, c]``
+    (windows.featurize_batch), and the mid-frame root slot holds ``r``
+    itself. Hence ``W1 @ f[n] = Σ_w K_w @ u[n+w]`` where K equals W1 laid
+    out per-tap, with the root-normalization correction
+    ``S[o, c] = Σ_(w,j)≠(mid,root) W1[o, w, j, c]`` (c ∈ {x, y}) folded
+    into the (mid, root) tap. Layer 1 becomes
+    ``lax.conv_general_dilated(u, K, 'VALID')`` — an implicit-GEMM conv on
+    the MXU reading the raw (V, F, J, 3) frames once, instead of writing +
+    re-reading the 9×-blown-up (V, N, W, J, C) window tensor.
+
+    Args:
+      w1: (H, W * n_model_joints * Cm) folded first-layer weights
+          (Cm = 3 with confidence, else 2).
+      n_joints: joints in the preprocessed input u (model joints first;
+          may carry one appended root joint used only for normalization).
+      root_idx: root joint index within u's joint axis.
+      n_model_joints: joints the model consumes (= n_joints, or
+          n_joints - 1 when the root was appended for normalization only).
+
+    Returns:
+      (W, n_joints * 3, H) kernel for dimension_numbers ('NWC','WIO','NWC').
+    """
+    H = w1.shape[0]
+    Cm = 3 if use_confidence else 2
+    W = window_size
+    mid = W // 2
+    w1r = w1.reshape(H, W, n_model_joints, Cm)
+    K = jnp.zeros((W, n_joints, 3, H), w1.dtype)
+    K = K.at[:, :n_model_joints, :Cm, :].set(jnp.transpose(w1r, (1, 2, 3, 0)))
+    S = w1r[:, :, :, :2].sum(axis=(1, 2))  # (H, 2)
+    if root_idx < n_model_joints:
+        # the mid-frame root xy slot holds r itself (no subtraction there)
+        S = S - w1r[:, mid, root_idx, :2]
+    K = K.at[mid, root_idx, :2, :].add(-S.T)
+    return K.reshape(W, n_joints * 3, H)
+
+
 def featurize_video(
     op_data,
     window_size: int,

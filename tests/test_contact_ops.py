@@ -205,3 +205,56 @@ def test_featurize_batch_matches_per_video():
         jnp.asarray(op[:, :, subset, :]), W, root_in_subset, use_confidence=False
     )
     assert got2.shape[-1] == 2
+
+
+def test_conv_fused_inference_matches_window_path():
+    """The conv-fused path (layer 1 as a width-W temporal conv with the
+    per-window root normalization folded into the kernel,
+    windows.layer1_conv_kernel) produces the same probabilities and
+    identical decisions as the materialized-window path, across joint sets
+    with and without the root joint and with/without confidence."""
+    import functools
+
+    import jax
+
+    from chd_tpu.characters.defs import OP_JOINT_SUBSETS
+    from chd_tpu.contact import infer
+    from chd_tpu.models import contact_mlp
+
+    rng = np.random.default_rng(0)
+    V, F = 3, 60
+    kp = np.empty((V, F, 25, 3), np.float32)
+    kp[..., 0] = rng.uniform(0, 1280, size=(V, F, 25))
+    kp[..., 1] = rng.uniform(0, 720, size=(V, F, 25))
+    kp[..., 2] = rng.uniform(0, 1, size=(V, F, 25))
+
+    for joint_set, use_conf in [
+        ("lower", True),          # root inside the subset
+        ("lower", False),         # no confidence channel
+        ("lower_ankles", True),   # root appended for normalization only
+    ]:
+        subset = tuple(OP_JOINT_SUBSETS[joint_set])
+        cfg = contact_mlp.ModelConfig(
+            num_joints=len(subset), feat_size=3 if use_conf else 2
+        )
+        params, state = contact_mlp.init(jax.random.PRNGKey(1), cfg)
+        folded = contact_mlp.fold_batchnorm(params, state)
+
+        def run(use_conv):
+            fn = jax.jit(functools.partial(
+                infer._infer_batch, window_size=9, pred_size=5,
+                joint_subset=subset, use_confidence=use_conf,
+                conf_thresh=0.2, normalization=infer.TRAIN_NORMALIZATION,
+                classify_thresh=0.5, use_conv=use_conv,
+            ))
+            return fn(jnp.asarray(kp), folded)
+
+        c_win, p_win = run(False)
+        c_conv, p_conv = run(True)
+        np.testing.assert_allclose(
+            np.asarray(p_conv), np.asarray(p_win), atol=1e-4,
+            err_msg=f"{joint_set} conf={use_conf}",
+        )
+        assert (np.asarray(c_conv) == np.asarray(c_win)).all(), (
+            joint_set, use_conf,
+        )
