@@ -145,6 +145,7 @@ class ContactDetector:
         classify_thresh: float = 0.5,
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
+        use_conv: bool = False,
     ):
         if window_size % 2 == 0:  # must be odd (real_video_dataset.py:47-50)
             window_size += 1
@@ -155,7 +156,8 @@ class ContactDetector:
         folded = contact_mlp.fold_batchnorm(params, state)
         self.folded = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
         if use_pallas is None:  # the fused kernel needs real TPU hardware
-            use_pallas = jax.default_backend() not in ("cpu", "gpu")
+            use_pallas = (not use_conv and
+                          jax.default_backend() not in ("cpu", "gpu"))
 
         kw = dict(
             window_size=window_size,
@@ -166,6 +168,7 @@ class ContactDetector:
             normalization=normalization,
             classify_thresh=classify_thresh,
             use_pallas=use_pallas,
+            use_conv=use_conv,
         )
         self._single = jax.jit(functools.partial(_infer_one, **kw))
         # batched path: featurization/voting vmap over videos, but ALL
