@@ -726,7 +726,39 @@ def bench_kinematic():
                       if mfu else None))
 
 
+def _device_watchdog(timeout_s: float = 240.0):
+    """Fail fast (with a recorded JSON line) if the TPU backend hangs.
+
+    Initializing the tunneled axon PJRT plugin can block INDEFINITELY when
+    the tunnel is down (observed round 4: jax.devices() hung >10 min) — in
+    that state the whole bench would die as an opaque rc=124 with an empty
+    artifact. jax.devices() is not interruptible from a watchdog thread, so
+    probe it in a CHILD process first and exit with a diagnostic line if
+    the backend doesn't come up in time.
+    """
+    import subprocess
+
+    probe = ("import jax; d = jax.devices(); "
+             "print(d[0].platform, len(d))")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode == 0:
+            return
+        err = f"device probe rc={proc.returncode}: {proc.stderr[-300:]}"
+    except subprocess.TimeoutExpired:
+        err = f"device backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+    print(json.dumps({
+        "metric": "bench_aborted", "value": 0, "unit": "error",
+        "vs_baseline": 0, "error": err,
+    }), flush=True)
+    sys.exit(0)
+
+
 def main():
+    _device_watchdog()
     sel = os.environ.get("CHD_BENCH_METRICS")
     names = [s.strip() for s in sel.split(",")] if sel else [
         "physics", "kinematic", "train", "train_epoch", "contact"]
