@@ -90,6 +90,36 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5000)
     p.add_argument("--batch-size", type=int, default=64)
 
+    p = sub.add_parser(
+        "eval-contacts",
+        help="evaluate the contact model on the synthetic dataset "
+             "(reference contact_learning/test.py)",
+    )
+    p.add_argument("--data", required=True)
+    p.add_argument("--weights", required=True, help=".npz (converted) or .pth weights")
+    p.add_argument("--out", help="directory for eval_results.json + merged_predictions.npy")
+    p.add_argument("--split", default="test", choices=["train", "val", "test"])
+    p.add_argument("--full-video", action="store_true",
+                   help="vote-merged full-video metrics (test.py --full-video)")
+    p.add_argument("--joint-set", default="lower")
+
+    p = sub.add_parser(
+        "openpose",
+        help="run the OpenPose binary per video dir (reference run_openpose.py)",
+    )
+    p.add_argument("--data", required=True)
+    p.add_argument("--openpose", required=True, help="OpenPose root (with build/)")
+    p.add_argument("--hands", action="store_true")
+    p.add_argument("--face", action="store_true")
+    p.add_argument("--save-video", action="store_true")
+
+    p = sub.add_parser(
+        "totalcap",
+        help="run MonocularTotalCapture per video dir (reference run_totalcap.py)",
+    )
+    p.add_argument("--data", required=True)
+    p.add_argument("--totalcap", required=True, help="MTC fork root")
+
     p = sub.add_parser("make-structure", help="dir of mp4s → dir of video dirs")
     p.add_argument("--data", required=True)
     p.add_argument("--out", required=True)
@@ -159,6 +189,49 @@ def main(argv=None):
             print(f"=== {vd} ===")
             res = run_pipeline(vd, cfg, char_skel_bvh=args.char_bvh)
             print(json.dumps(res["stats"]))
+        return 0
+
+    if args.cmd == "eval-contacts":
+        import numpy as np
+
+        from ..contact import evaluate
+        from ..contact.data import ContactDataset
+        from ..contact.train import TrainConfig
+        from ..models import torch_convert
+
+        if args.weights.endswith(".pth"):
+            params, state = torch_convert.load_torch_checkpoint(args.weights)
+        else:
+            params, state = torch_convert.load_npz(args.weights)
+        ds = ContactDataset.load(args.data)
+        cfg = TrainConfig(joint_set=args.joint_set)
+        if args.full_video:
+            res = evaluate.evaluate_full_video(params, state, ds, args.split, cfg)
+        else:
+            res = evaluate.evaluate_windows(params, state, ds, args.split, cfg)
+        merged_pred = res.pop("merged_predictions", None)
+        print(json.dumps(res, indent=2))
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            with open(os.path.join(args.out, "eval_results.json"), "w") as f:
+                json.dump(res, f, indent=2)
+            if merged_pred is not None:
+                np.save(os.path.join(args.out, "merged_predictions.npy"),
+                        merged_pred)
+        return 0
+
+    if args.cmd == "openpose":
+        from .external import run_openpose
+
+        run_openpose(_video_dirs(args.data), args.openpose,
+                     hands=args.hands, face=args.face,
+                     save_video=args.save_video)
+        return 0
+
+    if args.cmd == "totalcap":
+        from .external import run_totalcap
+
+        run_totalcap(_video_dirs(args.data), args.totalcap)
         return 0
 
     if args.cmd == "train-contacts":
