@@ -146,6 +146,8 @@ class ContactDetector:
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
         use_conv: bool = False,
+        mlp_dtype=None,
+        precision: Optional[str] = "high",
     ):
         if window_size % 2 == 0:  # must be odd (real_video_dataset.py:47-50)
             window_size += 1
@@ -169,6 +171,8 @@ class ContactDetector:
             classify_thresh=classify_thresh,
             use_pallas=use_pallas,
             use_conv=use_conv,
+            mlp_dtype=mlp_dtype,
+            precision=precision,
         )
         self._single = jax.jit(functools.partial(_infer_one, **kw))
         # batched path: featurization/voting vmap over videos, but ALL
