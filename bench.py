@@ -535,12 +535,16 @@ def _physics_flops(batched, weights, cfg):
 
     B, F = batched.base_lin.shape[:2]
     dtype = batched.base_lin.dtype
-    masks = frame_coloring_masks(F, collocation.DOF, dtype=dtype)
-    dyn_cost = collocation.CostW(
-        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
-        0.001, 0.001, weights.w_smooth, 1e-4, 1e3,
-    )
-    fn_dynh = collocation.make_al_residual_fn(dyn_cost, collocation.DYN_H_RHO)
+    # stage-3 pieces from the SAME constructor durations_core solves with
+    # (parallel/batch.stage3_problem) — the accounted graph cannot drift
+    spec_b = batch_lib.pad_duration_specs(batched)
+    fn3, masks_aug, masks, _, n_traj = batch_lib.stage3_problem(
+        F, dtype, spec_b, weights)
+    # FIT/DYN/HEIGHT + stage-4 calls costed on the DYN_H graph with the
+    # solve's own dyn_cost (collocation.solve_physics) — fullest constraint
+    # set; overcounts the FIT calls by its extra terms, a few %
+    fn_dynh = collocation.make_al_residual_fn(
+        collocation.dyn_cost_for(weights), collocation.DYN_H_RHO)
     x_b = jax.vmap(collocation.join_vars)(
         batched.base_lin, batched.base_ang, batched.ee_pos,
         jnp.zeros_like(batched.ee_pos))
@@ -550,20 +554,6 @@ def _physics_flops(batched, weights, cfg):
     f_traj = _lm_flops_model(fn_dynh, cfg.lm, masks, x_b, batched, lams)
 
     # stage-3: augmented [trajectory | durations] vector
-    spec_b = batch_lib.pad_duration_specs(batched)
-    P = int(spec_b.durations.shape[-1])
-    n_traj = F * collocation.DOF
-    dur_cost = collocation.CostW(
-        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
-        0.001, 0.001, weights.w_smooth, 0.0, 1e3)
-    fn3 = collocation.make_stage3_residual_fn(
-        dur_cost, collocation.DYN_H_RHO, weights.w_dur, F)
-    dof_d = 4 * P
-    masks_aug = jnp.concatenate([
-        jnp.concatenate([masks, jnp.zeros((masks.shape[0], dof_d), dtype)], axis=1),
-        jnp.concatenate([jnp.zeros((dof_d, n_traj), dtype),
-                         jnp.eye(dof_d, dtype=dtype)], axis=1),
-    ], axis=0)
     x_aug = jnp.concatenate([x_b, spec_b.durations.reshape(B, -1)], axis=-1)
     f_s3 = _lm_flops_model(fn3, cfg.lm, masks_aug, x_aug, batched, lams, spec_b)
     return n_traj_lm * f_traj + cfg.al_iters_durations * f_s3
@@ -754,7 +744,9 @@ def _device_watchdog(timeout_s: float = 240.0):
         "metric": "bench_aborted", "value": 0, "unit": "error",
         "vs_baseline": 0, "error": err,
     }), flush=True)
-    sys.exit(0)
+    # nonzero so rc-gating callers see the failure; the diagnostic line
+    # above still reaches artifacts that record stdout/tails
+    sys.exit(3)
 
 
 def main():

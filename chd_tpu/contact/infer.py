@@ -157,6 +157,11 @@ class ContactDetector:
         self.use_confidence = use_confidence
         folded = contact_mlp.fold_batchnorm(params, state)
         self.folded = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
+        if use_pallas and use_conv:
+            raise ValueError(
+                "use_pallas and use_conv are mutually exclusive paths "
+                "(the conv fusion replaces the window tensor the pallas "
+                "kernel consumes)")
         if use_pallas is None:  # the fused kernel needs real TPU hardware
             use_pallas = (not use_conv and
                           jax.default_backend() not in ("cpu", "gpu"))

@@ -164,12 +164,10 @@ def apply_folded(folded: Dict, x, pred_size: int, precision="high"):
     """
     B = x.shape[0]
     h = x.reshape(B, -1)
-    n = len(folded["w"])
-    for i in range(n):
-        h = jnp.dot(h, folded["w"][i].T, precision=precision) + folded["b"][i]
-        if i < n - 1:
-            h = jax.nn.relu(h)
-    return h.reshape(B, pred_size, 4)
+    h = jnp.dot(h, folded["w"][0].T, precision=precision) + folded["b"][0]
+    if len(folded["w"]) > 1:
+        h = jax.nn.relu(h)
+    return apply_folded_tail(folded, h, pred_size, precision=precision)
 
 
 def apply_folded_tail(folded: Dict, h, pred_size: int, precision="high"):

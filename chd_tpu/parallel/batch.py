@@ -180,29 +180,17 @@ def solve_physics_durations_batch(
     return res, stats, np.asarray(ok)
 
 
-def durations_core(
-    phys_batch: PhysInput,
-    stage2: PhysResult,
-    spec_b: dur_lib.DurationSpec,
-    weights: PhysWeights = PhysWeights(),
-    cfg: collocation.SolveConfig = collocation.SolveConfig(),
-):
-    """Traceable stage-3/4 body (no host round-trips): jit-wrap together with
-    solve_physics_batch to lower the WHOLE staged solve into one executable —
-    bench.py uses this for cost_analysis()-based FLOP/MFU accounting.
-    ``spec_b`` comes from :func:`pad_duration_specs` (host-side, needs
-    concrete contact schedules). Returns ok as a device bool array."""
-    B, F = phys_batch.base_lin.shape[:2]
-    dtype = phys_batch.base_lin.dtype
+def stage3_problem(F: int, dtype, spec_b: dur_lib.DurationSpec,
+                   weights: PhysWeights):
+    """The stage-3 augmented-LM problem pieces: (fn3, masks_aug, traj_masks,
+    dyn_cost, n_traj). ONE construction shared by :func:`durations_core` and
+    bench.py's cost_analysis()-based FLOP accounting, so the accounted graph
+    cannot drift from the solved one."""
     P = int(spec_b.durations.shape[-1])
     dof_d = 4 * P
     n_traj = F * collocation.DOF
 
-    dyn_cost = collocation.CostW(
-        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
-        0.001, 0.001, weights.w_smooth, 0.0, 1e3,  # no accel smoothing with
-        # duration optimization (reference: vel_smooth_cost.cpp:72-79)
-    )
+    dyn_cost = collocation.dyn_cost_for(weights, accel=0.0)
     fn3 = collocation.make_stage3_residual_fn(
         dyn_cost, collocation.DYN_H_RHO, weights.w_dur, F
     )
@@ -220,6 +208,25 @@ def durations_core(
         ],
         axis=0,
     )
+    return fn3, masks_aug, traj_masks, dyn_cost, n_traj
+
+
+def durations_core(
+    phys_batch: PhysInput,
+    stage2: PhysResult,
+    spec_b: dur_lib.DurationSpec,
+    weights: PhysWeights = PhysWeights(),
+    cfg: collocation.SolveConfig = collocation.SolveConfig(),
+):
+    """Traceable stage-3/4 body (no host round-trips): jit-wrap together with
+    solve_physics_batch to lower the WHOLE staged solve into one executable —
+    bench.py uses this for cost_analysis()-based FLOP/MFU accounting.
+    ``spec_b`` comes from :func:`pad_duration_specs` (host-side, needs
+    concrete contact schedules). Returns ok as a device bool array."""
+    B, F = phys_batch.base_lin.shape[:2]
+    dtype = phys_batch.base_lin.dtype
+    fn3, masks_aug, traj_masks, dyn_cost, n_traj = stage3_problem(
+        F, dtype, spec_b, weights)
 
     def stage3_iter(x_aug, phys, lams, spec):
         x_aug, _ = lm_solve(fn3, x_aug, (phys, lams, spec), cfg.lm, diag_masks=masks_aug)

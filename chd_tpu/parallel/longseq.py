@@ -21,7 +21,7 @@ exact global Jᵀr / JᵀJ·v.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -355,6 +355,56 @@ def _solve_impl(
         jnp.asarray(fm, dtype),
     )
 
+    try:  # float-only configs hash; anything exotic skips the cache
+        solve = _build_solve(tuple(parents), w, mesh, axis, cfg,
+                             jnp.dtype(dtype).name, want_probe, probe_diag,
+                             F_pad, D, Jd)
+    except TypeError:
+        solve = _build_solve.__wrapped__(
+            tuple(parents), w, mesh, axis, cfg, jnp.dtype(dtype).name,
+            want_probe, probe_diag, F_pad, D, Jd)
+    shard_spec = P(axis)
+    rep = P()
+
+    d_own = {
+        "pose3d": data_p.pose3d, "root": data_p.root_trans, "p2d": data_p.pose2d_norm,
+        "pw": data_p.proj_weights, "dw": data_p.data_weights, "vc": data_p.vel_constraints,
+    }
+    consts = {
+        "sw": data_p.smooth_weights, "fn": data_p.floor_normal,
+        "fp": data_p.floor_point, "off": data_p.offsets,
+    }
+    put = lambda t, s: jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, s)), t
+    )
+    x_sh = put(jnp.asarray(x0_p, dtype), shard_spec)
+    d_sh = put(d_own, shard_spec)
+    fm_sh = put(data_p.frame_mask, shard_spec)
+    c_sh = put(consts, rep)
+
+    if want_probe:
+        if probe_diag:
+            _, c, g, diag = solve(x_sh, d_sh, fm_sh, c_sh)
+            return None, float(c), (
+                float(c), np.asarray(g)[:F], np.asarray(diag)[:F]
+            )
+        _, c, g = solve(x_sh, d_sh, fm_sh, c_sh)
+        return None, float(c), (float(c), np.asarray(g)[:F], None)
+    x_out, c = solve(x_sh, d_sh, fm_sh, c_sh)
+    return np.asarray(x_out)[:F], float(c), None
+
+
+@lru_cache(maxsize=32)
+def _build_solve(parents, w, mesh, axis, cfg, dtype_name, want_probe,
+                 probe_diag, F_pad, D, Jd):
+    """Build + jit the shard_map'd LM solve ONCE per (problem-shape, config)
+    key; repeat calls over same-shape sequences reuse the compiled
+    executable instead of retracing a fresh closure (~15 s compile each on
+    the 8-virtual-device CPU mesh). Everything the trace depends on is in
+    the key; per-call arrays (incl. the replicated smooth-weights/floor/
+    offsets constants) travel as arguments."""
+    dtype = jnp.dtype(dtype_name)
+    n_shards = mesh.shape[axis]
     F_loc = F_pad // n_shards
     F_ext = F_loc + 2 * HALO
     n_euler = D // 3  # euler-smooth block includes root translation rows
@@ -367,11 +417,11 @@ def _solve_impl(
     shard_spec = P(axis)
     rep = P()
 
-    def local_residual(x_ext, d_ext, fm_ext, own_mask_flat):
+    def local_residual(x_ext, d_ext, fm_ext, own_mask_flat, consts):
         d_loc = TrajectoryData(
             d_ext["pose3d"], d_ext["root"], d_ext["p2d"], d_ext["pw"],
-            d_ext["dw"], data_p.smooth_weights, d_ext["vc"],
-            data_p.floor_normal, data_p.floor_point, data_p.offsets, fm_ext,
+            d_ext["dw"], consts["sw"], d_ext["vc"],
+            consts["fn"], consts["fp"], consts["off"], fm_ext,
         )
         r = trajectory_residuals(x_ext.reshape(-1), d_loc, w, parents)
         return r * own_mask_flat
@@ -379,7 +429,7 @@ def _solve_impl(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(shard_spec, shard_spec, shard_spec),
+        in_specs=(shard_spec, shard_spec, shard_spec, rep),
         out_specs=(
             ((shard_spec, rep, shard_spec, shard_spec) if probe_diag
              else (shard_spec, rep, shard_spec))
@@ -387,7 +437,7 @@ def _solve_impl(
         ),
         check_vma=False,
     )
-    def solve(x_own, d_own, fm_own):
+    def solve(x_own, d_own, fm_own, consts):
         my_start = jax.lax.axis_index(axis) * F_loc
         own_mask = _ownership_mask(my_start, F_ext, F_pad, Jd, n_euler, dtype)
 
@@ -397,7 +447,8 @@ def _solve_impl(
         def res_own(x_o):
             x_ext = _exchange_halos(x_o, axis)
             return local_residual(
-                x_ext, extend(d_own), _exchange_halos(fm_own, axis), own_mask
+                x_ext, extend(d_own), _exchange_halos(fm_own, axis), own_mask,
+                consts,
             )
 
         def grad_fn(x_o, r):
@@ -406,7 +457,7 @@ def _solve_impl(
             d_ext = extend(d_own)
             fm_ext = _exchange_halos(fm_own, axis)
             _, vjp = jax.vjp(
-                lambda xe: local_residual(xe, d_ext, fm_ext, own_mask), x_ext
+                lambda xe: local_residual(xe, d_ext, fm_ext, own_mask, consts), x_ext
             )
             return _return_halos(vjp(r)[0], axis)
 
@@ -415,7 +466,7 @@ def _solve_impl(
             v_ext = _exchange_halos(v_o, axis)
             d_ext = extend(d_own)
             fm_ext = _exchange_halos(fm_own, axis)
-            f = lambda xe: local_residual(xe, d_ext, fm_ext, own_mask)
+            f = lambda xe: local_residual(xe, d_ext, fm_ext, own_mask, consts)
             _, Jv = jax.jvp(f, (x_ext,), (v_ext,))
             _, vjp = jax.vjp(f, x_ext)
             return _return_halos(vjp(Jv)[0], axis)
@@ -504,28 +555,4 @@ def _solve_impl(
         (x, _, c), _ = jax.lax.scan(step, init, None, length=cfg.max_iters)
         return x, c
 
-    d_own = {
-        "pose3d": data_p.pose3d, "root": data_p.root_trans, "p2d": data_p.pose2d_norm,
-        "pw": data_p.proj_weights, "dw": data_p.data_weights, "vc": data_p.vel_constraints,
-    }
-    put = lambda t, s: jax.tree.map(
-        lambda a: jax.device_put(a, NamedSharding(mesh, s)), t
-    )
-    x_sh = put(jnp.asarray(x0_p, dtype), shard_spec)
-    d_sh = put(d_own, shard_spec)
-    fm_sh = put(data_p.frame_mask, shard_spec)
-
-    # jit the shard_map'd body: called eagerly, shard_map dispatches every
-    # primitive separately across the mesh (measured 232 s for the probe on
-    # the 8-virtual-device CPU mesh vs 15 s trace+compile+run under jit)
-    solve = jax.jit(solve)
-    if want_probe:
-        if probe_diag:
-            _, c, g, diag = solve(x_sh, d_sh, fm_sh)
-            return None, float(c), (
-                float(c), np.asarray(g)[:F], np.asarray(diag)[:F]
-            )
-        _, c, g = solve(x_sh, d_sh, fm_sh)
-        return None, float(c), (float(c), np.asarray(g)[:F], None)
-    x_out, c = solve(x_sh, d_sh, fm_sh)
-    return np.asarray(x_out)[:F], float(c), None
+    return jax.jit(solve)

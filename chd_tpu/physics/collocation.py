@@ -318,6 +318,20 @@ class SolveConfig:
     lm: LMConfig = LMConfig(max_iters=30, cg_iters=60, init_lambda=1e-2)
 
 
+
+def dyn_cost_for(weights, accel: float = 1e-4):
+    """The DYN/DYN_H-stage cost weights derived from pipeline PhysWeights
+    (run_phys_mocap.py:33-44 / phys_optim.cpp:27-31). ``accel=0.0`` is the
+    stage-3/4 variant — no accel smoothing with duration optimization
+    (vel_smooth_cost.cpp:72-79). Shared by solve_physics,
+    solve_physics_durations, parallel.batch.stage3_problem and bench.py's
+    FLOP accounting so they can never drift apart."""
+    return CostW(
+        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
+        0.001, 0.001, weights.w_smooth, accel, 1e3,
+    )
+
+
 def solve_physics(
     phys: PhysInput,
     weights: PhysWeights = PhysWeights(),
@@ -329,10 +343,7 @@ def solve_physics(
     cfg.optimize_durations is on, use solve_physics_durations afterwards for
     the stage-3 refinement."""
     F = int(phys.base_lin.shape[0])
-    dyn_cost = CostW(
-        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
-        0.001, 0.001, weights.w_smooth, 1e-4, 1e3,
-    )
+    dyn_cost = dyn_cost_for(weights)
 
     x = join_vars(phys.base_lin, phys.base_ang, phys.ee_pos, jnp.zeros_like(phys.ee_pos))
     masks = frame_coloring_masks(F, DOF, dtype=x.dtype)
@@ -405,11 +416,7 @@ def solve_physics_durations(
     P = spec.durations.shape[1]
     dof_d = 4 * P
 
-    dyn_cost = CostW(
-        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
-        0.001, 0.001, weights.w_smooth, 0.0, 1e3,  # no accel smoothing w/
-        # duration optimization (reference: unsupported, vel_smooth_cost.cpp:72-79)
-    )
+    dyn_cost = dyn_cost_for(weights, accel=0.0)
     fn = make_stage3_residual_fn(dyn_cost, DYN_H_RHO, weights.w_dur, F)
 
     traj_masks = frame_coloring_masks(F, DOF, dtype=x.dtype)

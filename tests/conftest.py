@@ -46,6 +46,28 @@ def has_reference() -> bool:
     return os.path.isdir(REFERENCE_IK)
 
 
+# Modules whose compiles dominate the suite's resident JIT state. XLA:CPU
+# reproducibly SIGSEGVs inside backend_compile (LLVM ORC, NOT the persistent
+# cache — observed with it disabled) once enough large executables have
+# accumulated in one process: four rc=139 crashes, all while compiling the
+# SAME kinematic LM graph ~25-30 slow tests in, each green when run fresh.
+# Dropping the big executables after each heavy module bounds that state.
+_HEAVY_MODULES = {
+    "test_longseq", "test_parallel", "test_physics_scoreboard",
+    "test_physics_solve", "test_pipeline", "test_goldens",
+    "test_trajectory_e2e", "test_kinematics_batch", "test_banded",
+    "test_durations", "test_train_learns",
+}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_resident_jit_state(request):
+    yield
+    mod = getattr(request.module, "__name__", "")
+    if mod.rpartition(".")[2] in _HEAVY_MODULES:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def ref_ik():
     """Import the reference ik library (pure numpy) as an oracle."""
