@@ -6,9 +6,11 @@ the binary-decision tripwire evaluated per configuration: a faster setting
 only counts if the final contact arrays still agree >=99.9% with the f64
 torch oracle path.
 
-Run: python benchmarks/contact_sweep.py
-Emits one JSON line per configuration.
+Run: python benchmarks/contact_sweep.py [precision ...] [--batches 1024,2048]
+With no args, sweeps every precision; naming precisions lets a timed-out
+sweep resume where it stopped (each config is an independent JSON line).
 """
+import argparse
 import functools
 import json
 import os
@@ -28,7 +30,19 @@ MLP_DIMS = [W * len(SUBSET) * 3, 1024, 512, 128, 32, 4 * P]
 MLP_FLOPS = 2 * sum(a * b for a, b in zip(MLP_DIMS, MLP_DIMS[1:]))
 
 
+ALL_PRECISIONS = ["high", "default", "highest", "bf16", "pallas",
+                  "conv", "conv_bf16"]
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("precisions", nargs="*", default=None)
+    ap.add_argument("--batches", default="128,512,1024,2048")
+    ap.add_argument("--skip-decomposition", action="store_true")
+    cli = ap.parse_args()
+    precisions = cli.precisions or ALL_PRECISIONS
+    batches = [int(b) for b in cli.batches.split(",")]
+
     import jax
     import jax.numpy as jnp
 
@@ -98,11 +112,7 @@ def main():
         return windows.featurize_batch(x, W, SUBSET.index(8), True)
 
     V_dec = 1024
-    kp_dec = jnp.asarray(synth(V_dec))
     feat_fn = jax.jit(featurize_only)
-    feats = feat_fn(kp_dec)
-    jax.block_until_ready(feats)
-    flat = feats.reshape((-1,) + feats.shape[2:])
 
     def time_it(g, *a, n_iter=5):
         out = g(*a)
@@ -115,28 +125,62 @@ def main():
 
     from chd_tpu.models.contact_mlp import apply_folded
 
-    mlp_fn = jax.jit(functools.partial(apply_folded, pred_size=P,
-                                       precision="high"))
-    mlp_bf16 = jax.jit(functools.partial(apply_folded, pred_size=P,
-                                         precision=None))
-    folded_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), folded)
-    flat_bf16 = flat.astype(jnp.bfloat16)
-    t_feat = time_it(feat_fn, kp_dec)
-    t_mlp = time_it(lambda x: mlp_fn(folded, x), flat)
-    t_mlp_bf16 = time_it(lambda x: mlp_bf16(folded_bf16, x), flat_bf16)
-    print(json.dumps({
-        "decomposition": True, "batch": V_dec,
-        "featurize_ms": round(t_feat * 1e3, 2),
-        "mlp_ms": round(t_mlp * 1e3, 2),
-        "mlp_bf16_ms": round(t_mlp_bf16 * 1e3, 2),
-        "mlp_tflops": round(
-            V_dec * (F - W + 1) * MLP_FLOPS / t_mlp / 1e12, 2),
-        "mlp_bf16_tflops": round(
-            V_dec * (F - W + 1) * MLP_FLOPS / t_mlp_bf16 / 1e12, 2),
-    }), flush=True)
+    if not cli.skip_decomposition:
+        kp_dec = jnp.asarray(synth(V_dec))
+        feats = feat_fn(kp_dec)
+        jax.block_until_ready(feats)
+        flat = feats.reshape((-1,) + feats.shape[2:])
+        mlp_fn = jax.jit(functools.partial(apply_folded, pred_size=P,
+                                           precision="high"))
+        mlp_bf16 = jax.jit(functools.partial(apply_folded, pred_size=P,
+                                             precision=None))
+        folded_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), folded)
+        flat_bf16 = flat.astype(jnp.bfloat16)
+        t_feat = time_it(feat_fn, kp_dec)
+        t_mlp = time_it(lambda x: mlp_fn(folded, x), flat)
+        t_mlp_bf16 = time_it(lambda x: mlp_bf16(folded_bf16, x), flat_bf16)
+        print(json.dumps({
+            "decomposition": True, "batch": V_dec,
+            "featurize_ms": round(t_feat * 1e3, 2),
+            "mlp_ms": round(t_mlp * 1e3, 2),
+            "mlp_bf16_ms": round(t_mlp_bf16 * 1e3, 2),
+            "mlp_tflops": round(
+                V_dec * (F - W + 1) * MLP_FLOPS / t_mlp / 1e12, 2),
+            "mlp_bf16_tflops": round(
+                V_dec * (F - W + 1) * MLP_FLOPS / t_mlp_bf16 / 1e12, 2),
+        }), flush=True)
 
-    for precision in ["high", "default", "highest", "bf16", "pallas",
-                      "conv", "conv_bf16"]:
+    # Per-process warm-up: on the tunneled axon device, the FIRST jitted
+    # graph timed in a process runs ~3x slower for its entire lifetime
+    # (measured: whichever precision config is listed first reports
+    # 150-260 ms/call at every batch size, then the identical config in a
+    # later slot reports 30-70 ms). Burn a throwaway config so every timed
+    # config runs in the warm regime and cross-config numbers compare.
+    warm_fn = jax.jit(functools.partial(
+        infer._infer_batch, window_size=W, pred_size=P,
+        joint_subset=tuple(SUBSET), use_confidence=True, conf_thresh=0.2,
+        normalization=infer.TRAIN_NORMALIZATION, classify_thresh=0.5,
+    ))
+    # adaptive: the cold regime lasts well past a handful of small calls,
+    # so burn full-size calls until two consecutive timings agree within
+    # 15% (cap 20 calls), and report how long warm-up took
+    kp_warm = jnp.asarray(synth(max(batches)))
+    c, _ = warm_fn(kp_warm, folded)
+    jax.block_until_ready(c)
+    prev, t_start = None, time.perf_counter()
+    for i in range(20):
+        t0 = time.perf_counter()
+        c, _ = warm_fn(kp_warm, folded)
+        float(jnp.sum(c))
+        dt = time.perf_counter() - t0
+        if prev is not None and abs(dt - prev) < 0.15 * min(dt, prev):
+            break
+        prev = dt
+    print(json.dumps({"warmup": True, "calls": i + 2,
+                      "wall_s": round(time.perf_counter() - t_start, 1),
+                      "settled_ms": round(dt * 1e3, 2)}), flush=True)
+
+    for precision in precisions:
         use_pallas = precision == "pallas"
         use_conv = precision.startswith("conv")
         prec = None if precision in ("default", "bf16", "conv_bf16") else (
@@ -159,7 +203,7 @@ def main():
             "precision": precision, "binary_agreement": agree,
             "check_videos": int(kp_check.shape[0]),
         }), flush=True)
-        for V in [128, 512, 1024, 2048]:
+        for V in batches:
             kp = jnp.asarray(synth(V))
             c, p = fn(kp, folded)  # compile
             jax.block_until_ready(c)
