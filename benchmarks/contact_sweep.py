@@ -36,12 +36,13 @@ ALL_PRECISIONS = ["high", "default", "highest", "bf16", "pallas",
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("precisions", nargs="*", default=None)
+    ap.add_argument("precisions", nargs="*", default=None,
+                    choices=ALL_PRECISIONS)
     ap.add_argument("--batches", default="128,512,1024,2048")
     ap.add_argument("--skip-decomposition", action="store_true")
     cli = ap.parse_args()
     precisions = cli.precisions or ALL_PRECISIONS
-    batches = [int(b) for b in cli.batches.split(",")]
+    batches = [int(b) for b in cli.batches.split(",") if b.strip()]
 
     import jax
     import jax.numpy as jnp
@@ -167,16 +168,17 @@ def main():
     kp_warm = jnp.asarray(synth(max(batches)))
     c, _ = warm_fn(kp_warm, folded)
     jax.block_until_ready(c)
-    prev, t_start = None, time.perf_counter()
+    prev, t_start, converged = None, time.perf_counter(), False
     for i in range(20):
         t0 = time.perf_counter()
         c, _ = warm_fn(kp_warm, folded)
         float(jnp.sum(c))
         dt = time.perf_counter() - t0
         if prev is not None and abs(dt - prev) < 0.15 * min(dt, prev):
+            converged = True
             break
         prev = dt
-    print(json.dumps({"warmup": True, "calls": i + 2,
+    print(json.dumps({"warmup": True, "calls": i + 2, "converged": converged,
                       "wall_s": round(time.perf_counter() - t_start, 1),
                       "settled_ms": round(dt * 1e3, 2)}), flush=True)
 

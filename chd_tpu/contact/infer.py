@@ -145,10 +145,18 @@ class ContactDetector:
         classify_thresh: float = 0.5,
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
-        use_conv: bool = False,
+        use_conv: bool = True,
         mlp_dtype=None,
         precision: Optional[str] = "high",
     ):
+        # Defaults = the measured winner of benchmarks/contact_sweep.py on
+        # v5e-1 (round 5, quiet-host run; full table in BASELINE.md): the
+        # conv-fused path at precision="high" is the fastest config with
+        # EXACT binary agreement (1.0) vs the f64 torch oracle — 9.58M
+        # frames/s at batch 4096 (8.97% MFU) vs 8.59M for the plain windowed
+        # path and 8.0M for pallas (0.99844 agreement). conv_bf16 reaches
+        # 13.2M but flips 0.37% of labels on the synthetic check set, so
+        # bf16 storage stays opt-in via mlp_dtype=jnp.bfloat16.
         if window_size % 2 == 0:  # must be odd (real_video_dataset.py:47-50)
             window_size += 1
         self.window_size = window_size
@@ -162,7 +170,10 @@ class ContactDetector:
                 "use_pallas and use_conv are mutually exclusive paths "
                 "(the conv fusion replaces the window tensor the pallas "
                 "kernel consumes)")
-        if use_pallas is None:  # the fused kernel needs real TPU hardware
+        if use_pallas is None:
+            # the conv-fused path is the default everywhere (measured winner
+            # + exact); the pallas kernel stays available explicitly, and is
+            # only auto-selected when the caller disabled conv on a TPU
             use_pallas = (not use_conv and
                           jax.default_backend() not in ("cpu", "gpu"))
 

@@ -33,19 +33,12 @@ def _pad_frames(a: np.ndarray, F: int) -> np.ndarray:
     return np.concatenate([a, reps], axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("parents", "ik_cfg", "lm_cfg", "lm_solver")
-)
-def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg, lm_solver="pcg"):
-    """The whole batched refinement — IK init → stage-1 LM → floor fit +
-    contact pruning → stage-2 LM — as ONE jitted graph.
-
-    One device dispatch per batch instead of hundreds: the eager glue
-    (vmapped IRLS floor fit, euler/quat conversions, x0 assembly) costs a
-    device round-trip per primitive, which dwarfs the solve when the device
-    sits behind a tunnel/remote coordinator (measured 47 s → ~7 s for a
-    batch-16×100-frame solve on v5e).
-    """
+def ik_init_batch(arrs, *, parents, ik_cfg):
+    """The vmapped CK-IK initialization exactly as :func:`_refine_core` runs
+    it — exposed separately so bench.py can lower it at reduced iteration
+    counts for cost_analysis()-based FLOP crediting (the fori_loop bodies are
+    counted once by XLA's cost analysis, so the per-iteration cost is
+    recovered by differencing iterations=1 vs iterations=0 lowerings)."""
     dtype = arrs["pose3d"].dtype
     B, F = arrs["pose3d"].shape[:2]
     J = arrs["offsets"].shape[1]
@@ -68,7 +61,27 @@ def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg, lm_solver="pcg"):
             use_reference=False, use_limits=False,
         )
 
-    rot_ik, pos_ik = jax.vmap(ik_one)(arrs["rot0"], arrs["pos0"], targets_b)
+    return jax.vmap(ik_one)(arrs["rot0"], arrs["pos0"], targets_b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("parents", "ik_cfg", "lm_cfg", "lm_solver")
+)
+def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg, lm_solver="pcg"):
+    """The whole batched refinement — IK init → stage-1 LM → floor fit +
+    contact pruning → stage-2 LM — as ONE jitted graph.
+
+    One device dispatch per batch instead of hundreds: the eager glue
+    (vmapped IRLS floor fit, euler/quat conversions, x0 assembly) costs a
+    device round-trip per primitive, which dwarfs the solve when the device
+    sits behind a tunnel/remote coordinator (measured 47 s → ~7 s for a
+    batch-16×100-frame solve on v5e).
+    """
+    dtype = arrs["pose3d"].dtype
+    B, F = arrs["pose3d"].shape[:2]
+    J = arrs["offsets"].shape[1]
+
+    rot_ik, pos_ik = ik_init_batch(arrs, parents=parents, ik_cfg=ik_cfg)
 
     x0 = jnp.concatenate(
         [pos_ik[:, :, 0], quat.to_euler(rot_ik, "xyz").reshape(B, F, -1)], axis=-1
@@ -104,6 +117,7 @@ def _refine_core(arrs, w1, w2, *, parents, ik_cfg, lm_cfg, lm_solver="pcg"):
     x1 = stage(x0, data1, w1)
 
     # batched floor fit + contact pruning
+    s2d = np.asarray(defs.COMBINED_SKEL_TO_DATA)
     feet_cols = jnp.asarray(s2d[defs.COMBINED_SKEL_FEET_IDX])
 
     def fit_one(x, offsets, vc):

@@ -122,13 +122,20 @@ def lm_solve(
     def step(state, _):
         x, lam, c = state
 
-        r = res(x)
-        _, vjp = jax.vjp(res, x)
-        g = vjp(r)[0]
+        # Linearize ONCE per LM step: the Gauss–Newton matvec JᵀJ·v runs
+        # cg_iters times at a FIXED linearization point, so jax.linearize +
+        # jax.linear_transpose make each CG iteration one tangent pass + one
+        # transpose pass. The previous jax.jvp-per-matvec formulation
+        # re-evaluated the primal forward inside every CG iteration (XLA does
+        # not reliably hoist the loop-invariant primal chain out of the fori
+        # body) — measured ~1.4x on the staged physics solve (v5e-1,
+        # BASELINE.md round 5).
+        r, jvp_lin = jax.linearize(res, x)
+        vjp_lin = jax.linear_transpose(jvp_lin, x)
+        g = vjp_lin(r)[0]
 
         def jtjv(v):
-            _, Jv = jax.jvp(res, (x,), (v,))
-            return vjp(Jv)[0]
+            return vjp_lin(jvp_lin(v))[0]
 
         if banded_spec is not None:
             U0, L1, L2 = banded_lib.banded_jtj(jtjv, banded_masks, bF, bD, 2)

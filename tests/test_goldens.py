@@ -221,6 +221,81 @@ def test_trajectory_solution_matches_golden():
         f"solution's {c_gold:.1f}")
 
 
+# ---------------------------------------------------------------------------
+# BASELINE config #4: physics FIT stage vs the scipy reference-class solver
+# (the staged NLP re-enactment of phys_optim.cpp:554-603 — stages 1.1 + 1.2,
+# trust-constr with exact-sparsity colored FD Jacobians — frozen at F=20
+# where it converges; benchmarks/ref_physics_baseline.py REF_PHYS_STAGES=2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow  # staged FIT solve (~2 min compile+run on CPU)
+def test_physics_fit_matches_scipy_golden():
+    """Solution-level FIT-stage oracle (VERDICT r4 next #4).
+
+    The scipy solution is FEASIBLE (constraint violations ~1e-17) but
+    under-converged on the cost: trust-constr stopped on xtol after 1600
+    iterations at FIT cost 564.8, while the data-exact optimum costs ~0.005
+    (stage 1.1, costs-only, reached 0.00498 before the kinematic constraints
+    were added — walking_input's synthetic data nearly satisfies them
+    already, so the constrained optimum stays data-close). The meaningful
+    solution-level assertions are therefore the same shape as the kinematic
+    golden's: equal feasibility + objective dominance + cm-scale closeness
+    to the shared data term — not cm-matching the oracle's worse iterate.
+    """
+    import jax.numpy as jnp
+
+    from chd_tpu.kinematics.lm import frame_coloring_masks, lm_solve
+    from chd_tpu.physics import collocation as co
+    from chd_tpu.physics.synth import walking_input
+
+    g = np.load(os.path.join(FIXTURES, "phys_fit_scipy_f20_seed0.npz"))
+    assert bool(g["finished"]), "fixture was saved from an unfinished solve"
+    F = int(g["frames"])
+    phys = walking_input(F, seed=0)
+    cfg = co.SolveConfig()
+
+    # our FIT stage exactly as solve_physics runs it (collocation.py FIT
+    # schedule: al_iters_fit AL outer iterations of LM on FIT_COST/FIT_RHO)
+    x = co.join_vars(phys.base_lin, phys.base_ang, phys.ee_pos,
+                     jnp.zeros_like(phys.ee_pos))
+    masks = frame_coloring_masks(F, co.DOF, dtype=x.dtype)
+    lams = co.init_multipliers(phys)
+    fn = co.make_al_residual_fn(co.FIT_COST, co.FIT_RHO)
+    for _ in range(cfg.al_iters_fit):
+        x, _ = lm_solve(fn, x, (phys, lams), cfg.lm, diag_masks=masks)
+        lams = co.update_multipliers(x, phys, lams, co.FIT_RHO)
+
+    x_gold = jnp.asarray(g["x"], jnp.float32)
+
+    # 1) feasibility parity: every FIT-stage constraint satisfied at least
+    #    as well as the oracle's (absolute floor 1e-3, the IPOPT tol)
+    vo = co.violation_stats(x, phys)
+    vg = co.violation_stats(x_gold, phys)
+    for name in ("leg", "heel", "terrain", "slip", "height"):
+        assert vo[name] <= max(vg[name], 1e-3), (name, vo[name], vg[name])
+
+    # 2) objective dominance on the identical FIT cost
+    r_ours = co.cost_residuals(x, phys, co.FIT_COST)
+    r_gold = co.cost_residuals(x_gold, phys, co.FIT_COST)
+    c_ours = 0.5 * float(jnp.vdot(r_ours, r_ours))
+    c_gold = 0.5 * float(jnp.vdot(r_gold, r_gold))
+    assert c_ours <= c_gold * 1.001, (c_ours, c_gold)
+    # measured: ours ~0.005 vs golden 564.8 — the dominance is 5 orders of
+    # magnitude, so also pin our absolute level to catch regressions the
+    # loose dominance bound would miss
+    assert c_ours < 0.05, c_ours
+
+    # 3) cm-scale solution closeness to the shared data term (both solvers
+    #    minimize distance-to-data; ours must stay data-exact to ~cm)
+    res = co._to_result(x, phys)
+    d_com = np.linalg.norm(
+        np.asarray(res.base_lin) - np.asarray(phys.base_lin), axis=-1)
+    d_ee = np.linalg.norm(
+        np.asarray(res.ee_pos) - np.asarray(phys.ee_pos), axis=-1)
+    assert d_com.max() < 0.02, f"COM departs data by {d_com.max():.3f} m"
+    assert d_ee.max() < 0.02, f"feet depart data by {d_ee.max():.3f} m"
+
+
 def test_ck_ik_matches_golden():
     from chd_tpu.core import quat
     from chd_tpu.core.animation import Animation
