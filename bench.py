@@ -55,8 +55,12 @@ OUR_BATCH = int(os.environ.get("CHD_CONTACT_BATCH", "4096"))
 REF_VIDEOS = 2    # videos for the (slow) reference-style contact baseline
 SUBSET = list(range(8, 15)) + list(range(19, 25))  # 'lower'
 
-# batch 32 measured best on v5e-1 (8572 seq/hour vs 5445 at 16; 64 exceeds
-# the compile/memory budget); kinematic is compute-saturated by batch 16
+# batch 32 measured best on v5e-1. Round-5 sweep (benchmarks/
+# phys_batch_sweep.py, finally run — VERDICT r3 #4): 16→3758, 32→8316,
+# 64→8386 seq/hour (steady 15.3/13.9/27.5 s, 64/64 durations_ok) — the solve
+# is latency-bound up to batch 32 and work-bound beyond it, so 64 COMPILES
+# FINE (the round-2 "exceeds the compile/memory budget" note was wrong) but
+# buys <1%; kinematic is compute-saturated by batch 16
 PHYS_BATCH = int(os.environ.get("CHD_PHYS_BATCH", "32"))
 PHYS_FRAMES = 100
 KIN_BATCH = int(os.environ.get("CHD_KIN_BATCH", "16"))
@@ -644,11 +648,14 @@ def bench_physics():
     batched, lens = batch_lib.pad_phys_inputs(inputs)
     weights = PhysWeights()
     cfg = collocation.SolveConfig()
+    spec_b = batch_lib.pad_duration_specs(batched)
 
     def solve():
-        rf, rd = batch_lib.solve_physics_batch(batched, weights, cfg)
-        res, stats, ok = batch_lib.solve_physics_durations_batch(
-            batched, rd, weights, cfg)
+        # one-dispatch fused staged solve (round 5): the 13-dispatch version
+        # was dominated by per-dispatch tunnel round-trips (BASELINE.md
+        # "physics dispatch anatomy")
+        rf, rd, res, stats, ok = batch_lib.solve_physics_full_batch(
+            batched, weights, cfg, spec_b=spec_b)
         jax.block_until_ready(res.base_lin)
         return res, stats, ok
 

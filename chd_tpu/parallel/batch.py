@@ -82,19 +82,25 @@ def solve_physics_batch(
 ) -> Tuple[PhysResult, PhysResult]:
     """Solve B physics problems in lockstep (vmap), optionally sharded over a
     mesh's 'data' axis. Returns batched (fit, dynamics) results."""
-    B, F = phys_batch.base_lin.shape[:2]
-    masks = frame_coloring_masks(F, collocation.DOF, dtype=phys_batch.base_lin.dtype)
-    dyn_cost = collocation.CostW(
-        weights.w_com_lin, weights.w_com_ang, weights.w_ee,
-        0.001, 0.001, weights.w_smooth, 1e-4, 1e3,
-    )
-
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         phys_batch = jax.tree.map(
             lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))), phys_batch
         )
+
+    return _staged_core(phys_batch, weights, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "cfg"))
+def _staged_core(phys_batch: PhysInput, weights: PhysWeights,
+                 cfg: collocation.SolveConfig):
+    """Traceable FIT→DYN→HEIGHT body shared by :func:`solve_physics_batch`
+    and the one-dispatch :func:`solve_physics_full_batch`."""
+    B, F = phys_batch.base_lin.shape[:2]
+    masks = frame_coloring_masks(F, collocation.DOF,
+                                 dtype=phys_batch.base_lin.dtype)
+    dyn_cost = collocation.dyn_cost_for(weights)
 
     def solve_one_stage(x, phys, lams, w, rho):
         fn = collocation.make_al_residual_fn(w, rho)
@@ -111,7 +117,8 @@ def solve_physics_batch(
     lams = jax.vmap(collocation.init_multipliers)(phys_batch)
 
     for _ in range(cfg.al_iters_fit):
-        x, lams = vstage(x, phys_batch, lams, collocation.FIT_COST, collocation.FIT_RHO)
+        x, lams = vstage(x, phys_batch, lams, collocation.FIT_COST,
+                         collocation.FIT_RHO)
     res_fit = jax.vmap(collocation._to_result)(x, phys_batch)
 
     for _ in range(cfg.al_iters_dyn):
@@ -120,6 +127,50 @@ def solve_physics_batch(
         x, lams = vstage(x, phys_batch, lams, dyn_cost, collocation.DYN_H_RHO)
     res_dyn = jax.vmap(collocation._to_result)(x, phys_batch)
     return res_fit, res_dyn
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "cfg"))
+def _full_solve_core(phys_batch: PhysInput, spec_b, weights: PhysWeights,
+                     cfg: collocation.SolveConfig):
+    """The WHOLE staged solve (FIT→DYN→HEIGHT→durations→frozen polish) as
+    one traced graph — see :func:`solve_physics_full_batch`."""
+    res_fit, res_dyn = _staged_core(phys_batch, weights, cfg)
+    res, stats, ok = durations_core(phys_batch, res_dyn, spec_b, weights, cfg)
+    return res_fit, res_dyn, res, stats, ok
+
+
+def solve_physics_full_batch(
+    phys_batch: PhysInput,
+    weights: PhysWeights = PhysWeights(),
+    cfg: collocation.SolveConfig = collocation.SolveConfig(),
+    mesh=None,
+    spec_b: Optional[dur_lib.DurationSpec] = None,
+):
+    """The full staged solve in ONE device dispatch.
+
+    solve_physics_batch + solve_physics_durations_batch issue 13 separate
+    lm_solve dispatches per solve; behind an interactive tunnel / remote
+    coordinator each dispatch pays a host round-trip, which round-5
+    measurements showed dominating the solve wall time at batch ≤32 (wall
+    nearly flat in both batch size and LM/CG budgets, and 40% run-to-run
+    drift on identical configs — BASELINE.md "physics dispatch anatomy").
+    Fusing every stage into one jit call leaves exactly one round-trip.
+
+    Returns (res_fit, res_dyn, res_final, stats, durations_ok) — the
+    reference's sol_out_no_dynamics / sol_out_dynamics / final artifacts
+    (phys_optim.cpp:554-749)."""
+    if spec_b is None:
+        spec_b = pad_duration_specs(phys_batch)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        put = lambda t: jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, Pspec("data"))), t
+        )
+        phys_batch, spec_b = put(phys_batch), put(spec_b)
+    res_fit, res_dyn, res, stats, ok = _full_solve_core(
+        phys_batch, spec_b, weights, cfg)
+    return res_fit, res_dyn, res, stats, np.asarray(ok)
 
 
 def pad_duration_specs(phys_batch: PhysInput) -> dur_lib.DurationSpec:

@@ -315,7 +315,12 @@ class SolveConfig:
     al_iters_height: int = 3
     al_iters_durations: int = 2
     optimize_durations: bool = True
-    lm: LMConfig = LMConfig(max_iters=30, cg_iters=60, init_lambda=1e-2)
+    # 25:50 measured quality-IDENTICAL to the former 30:60 default on the
+    # v5e fused solve (round-5 budget ladder, BASELINE.md: stage-2 DYN_H
+    # cost 0.42 = 0.42, dyn violation 0.037 vs 0.039 N, 32/32 durations_ok)
+    # at 0.72x the wall time; 20:40 costs +5%, 15:30 +21% — those stay
+    # opt-in. (Reference budget analog: phys_optim.cpp:571-652.)
+    lm: LMConfig = LMConfig(max_iters=25, cg_iters=50, init_lambda=1e-2)
 
 
 

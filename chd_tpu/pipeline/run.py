@@ -206,7 +206,29 @@ def run_physics_stage(video_dir: str, cfg: PipelineConfig, video_name: Optional[
         lm=LMConfig(max_iters=cfg.physics.lm_iters, cg_iters=cfg.physics.cg_iters,
                     init_lambda=1e-2),
     )
-    res_fit, res_dyn, stats = solve_physics(phys, pw, scfg)
+    durations_ok = False
+    if cfg.physics.optimize_durations:
+        # ONE device dispatch for the whole staged solve incl. stage-3/4
+        # (parallel/batch.solve_physics_full_batch on a batch of 1): the
+        # per-stage dispatch structure paid a host↔device round-trip per
+        # lm_solve, which dominated wall time on tunneled/remote devices
+        # (round-5 measurements, BASELINE.md "physics dispatch anatomy")
+        from ..parallel import batch as batch_lib
+        from ..physics.collocation import join_vars, violation_stats
+
+        batched, seq_lens = batch_lib.pad_phys_inputs([phys])
+        rf_b, rd_b, res3_b, stats3_b, ok_b = batch_lib.solve_physics_full_batch(
+            batched, pw, scfg)
+        res_fit = batch_lib.unbatch_results(rf_b, seq_lens)[0]
+        res_dyn = batch_lib.unbatch_results(rd_b, seq_lens)[0]
+        x2 = join_vars(res_dyn.base_lin, res_dyn.base_ang, res_dyn.ee_pos,
+                       res_dyn.ee_force)
+        stats = violation_stats(x2, phys)
+        durations_ok = bool(ok_b[0])
+        res3 = batch_lib.unbatch_results(res3_b, seq_lens)[0]
+        stats3 = {k: float(v[0]) for k, v in stats3_b.items()}
+    else:
+        res_fit, res_dyn, stats = solve_physics(phys, pw, scfg)
 
     towr_io.save_solution(res_fit, os.path.join(out_dir, "sol_out_no_dynamics.txt"))
     towr_io.save_solution(res_dyn, os.path.join(out_dir, "sol_out_dynamics.txt"))
@@ -216,18 +238,13 @@ def run_physics_stage(video_dir: str, cfg: PipelineConfig, video_name: Optional[
         and stats["height"] < cfg.physics.kin_tol
     )
 
-    # STAGE 3: contact-duration refinement; on failure keep the stage-2
-    # result with durations frozen (the reference's stage-4 fallback,
+    # STAGE 3 result selection: on failure keep the stage-2 result with
+    # durations frozen (the reference's stage-4 fallback,
     # phys_optim.cpp:713-749)
-    durations_ok = False
     res_durations = res_dyn
-    if cfg.physics.optimize_durations:
-        from ..physics.collocation import solve_physics_durations
-
-        res3, stats3, durations_ok = solve_physics_durations(phys, res_dyn, pw, scfg)
-        if durations_ok:
-            res_durations = res3
-            stats = {**stats, **{f"dur_{k}": v for k, v in stats3.items()}}
+    if cfg.physics.optimize_durations and durations_ok:
+        res_durations = res3
+        stats = {**stats, **{f"dur_{k}": v for k, v in stats3.items()}}
     durations_ok = durations_ok or dynamics_ok  # fallback result converged
     towr_io.save_solution(res_durations, os.path.join(out_dir, "sol_out_durations.txt"))
     towr_io.save_success_log(os.path.join(out_dir, "success_log.txt"), dynamics_ok, durations_ok)

@@ -76,6 +76,41 @@ def test_batched_durations_matches_single(quick_cfg):
 
 
 @pytest.mark.slow
+def test_full_solve_matches_staged(quick_cfg):
+    """One-dispatch fused solve (solve_physics_full_batch) == the staged
+    solve_physics_batch + solve_physics_durations_batch calls. Same math,
+    one traced graph — the fusion exists purely to eliminate the 13
+    per-stage host round-trips (BASELINE.md 'physics dispatch anatomy')."""
+    cfg = collocation.SolveConfig(
+        al_iters_fit=1, al_iters_dyn=1, al_iters_height=1, al_iters_durations=1,
+        lm=quick_cfg.lm,
+    )
+    phys = standing_hop_input(F=20)
+    batched, lens = batch_lib.pad_phys_inputs([phys, phys])
+    rf_s, rd_s = batch_lib.solve_physics_batch(batched, PhysWeights(), cfg)
+    res_s, stats_s, ok_s = batch_lib.solve_physics_durations_batch(
+        batched, rd_s, PhysWeights(), cfg
+    )
+    rf_f, rd_f, res_f, stats_f, ok_f = batch_lib.solve_physics_full_batch(
+        batched, PhysWeights(), cfg
+    )
+    assert list(ok_f) == list(np.asarray(ok_s))
+    np.testing.assert_allclose(
+        np.asarray(rd_f.base_lin), np.asarray(rd_s.base_lin), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_f.base_lin), np.asarray(res_s.base_lin), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_f.contact), np.asarray(res_s.contact), atol=0
+    )
+    for k in stats_s:
+        np.testing.assert_allclose(
+            np.asarray(stats_f[k]), np.asarray(stats_s[k]), atol=1e-5
+        )
+
+
+@pytest.mark.slow
 def test_batched_physics_ragged_padding(quick_cfg):
     """Sequences of different lengths solve together; trimmed outputs finite."""
     p1 = standing_hop_input(F=20)
