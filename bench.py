@@ -36,6 +36,7 @@ vs_baseline denominators:
 
 Select metrics with CHD_BENCH_METRICS=comma,list (default: all).
 """
+import inspect
 import json
 import os
 import sys
@@ -753,8 +754,9 @@ def bench_kinematic():
 
     def run():
         res = kbatch.optimize_trajectory_batch(problems, skel)  # full budget:
-        # 200-iter IK + 2x50-iter LM, matching the reference's
-        # optimize_trajectory.py:661,785,614
+        # 200-iter IK + 2x40-iter LM (the measured quality-parity point of
+        # the round-5 budget ladder, BASELINE.md; the reference's analog is
+        # max_nfev=50 x 2, optimize_trajectory.py:661,785,614)
         return res
 
     run()  # warmup/compile
@@ -763,7 +765,7 @@ def bench_kinematic():
     seq_per_hour = KIN_BATCH / dt * 3600.0
     base = (3600.0 / REF_KINEMATIC_SEC_PER_SEQ) if REF_KINEMATIC_SEC_PER_SEQ else None
 
-    # FLOP accounting (VERDICT r3 #5 + r4 #5): the two 50-iter/100-CG LM
+    # FLOP accounting (VERDICT r3 #5 + r4 #5): the two default-budget LM
     # stages plus the 200-iter CK-IK init are credited (the init's fori_loop
     # bodies are recovered by differencing iterations=1/cg=1 vs iterations=0
     # lowerings + an unrolled CG-body measurement); the IRLS floor fit's
@@ -771,7 +773,7 @@ def bench_kinematic():
     mfu, flops_note = None, None
     if os.environ.get("CHD_BENCH_MFU", "1") != "0":
         try:
-            from chd_tpu.kinematics.lm import LMConfig, frame_coloring_masks
+            from chd_tpu.kinematics.lm import frame_coloring_masks
             from chd_tpu.kinematics.residuals import (
                 TrajectoryData, residual_fn_for,
             )
@@ -792,9 +794,15 @@ def bench_kinematic():
             w2 = traj_lib.STAGE2
             masks = frame_coloring_masks(Fb, D, dtype=dtype)
             x0 = jnp.zeros((B, Fb * D), dtype)
+            # Credit exactly the budget the timed run used: the
+            # optimize_trajectory_batch signature default (40:80 as of the
+            # round-5 budget ladder), read from the signature so the flop
+            # model can't drift from the timed path.
+            lm_default = inspect.signature(
+                kbatch.optimize_trajectory_batch).parameters["lm_cfg"].default
             f_lm = _lm_flops_model(
                 lambda x, d: residual(x, d, w2),
-                LMConfig(max_iters=50, cg_iters=100), masks, x0, data)
+                lm_default, masks, x0, data)
 
             # CK-IK init credit: setup + iters × (body with 1 CG iter) +
             # iters × (cg_iters−1) × per-CG-iteration cost

@@ -199,7 +199,11 @@ def optimize_trajectory_batch(
     cam_focal=defs.MTC_FOCAL,
     cam_pp=defs.MTC_PP,
     ik_iterations: int = 200,
-    lm_cfg: LMConfig = LMConfig(max_iters=50, cg_iters=100),
+    # 40:80 measured quality-identical to the reference-mirroring 50:100
+    # (stage-2 cost mean 1569.9 vs 1571.1 on the v5e budget ladder,
+    # BASELINE.md) at 1.25x the throughput; 50:100 remains available for
+    # bit-level golden comparisons (tests/test_goldens.py pins it).
+    lm_cfg: LMConfig = LMConfig(max_iters=40, cg_iters=80),
     mesh=None,
     dtype=jnp.float32,
     ik_solver: str = "cg",  # measured 19x faster than chunked LU on v5e

@@ -111,7 +111,9 @@ def optimize_trajectory(
     plane_normal: Optional[np.ndarray] = None,
     plane_point: Optional[np.ndarray] = None,
     ik_iterations: int = 200,
-    lm_cfg: LMConfig = LMConfig(max_iters=50, cg_iters=100),
+    # 40:80 = measured quality-parity point of the round-5 budget ladder
+    # (BASELINE.md); see kinematics/batch.optimize_trajectory_batch
+    lm_cfg: LMConfig = LMConfig(max_iters=40, cg_iters=80),
     dtype=jnp.float32,
 ) -> TrajectoryResult:
     """End-to-end kinematic refinement of one sequence.
