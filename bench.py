@@ -48,10 +48,13 @@ import numpy as np
 
 W, P = 9, 5
 FRAMES = 240
-# videos per device batch for the JAX contact path: 4096 measured best on
-# v5e-1 (benchmarks/contact_sweep.py round 5 — throughput still rising at
-# 4096: conv path 4.3M/7.5M/9.6M frames/s at 1024/2048/4096; the old 128
-# sat on the per-call dispatch-latency floor)
+# videos per HOST batch for the JAX contact path: 4096 amortizes dispatch
+# best (3.9M/4.5M/11.7M fps at 512/768/4096, round-5 chunked re-measurement).
+# On device the detector lax.map's over <=512-video chunks
+# (ContactDetector.max_device_batch): flat batches >=1024 hit a measured
+# deterministic runtime corruption on v5e (BASELINE.md "batch-invariance
+# tripwire") — the in-executable jax-vs-torch tripwire below is the guard
+# that caught it.
 OUR_BATCH = int(os.environ.get("CHD_CONTACT_BATCH", "4096"))
 REF_VIDEOS = 2    # videos for the (slow) reference-style contact baseline
 SUBSET = list(range(8, 15)) + list(range(19, 25))  # 'lower'
@@ -421,7 +424,11 @@ def bench_train():
     # same effect benchmarks/contact_sweep.py measured on full-size inference
     # calls. _steady_time burns samples until two consecutive timings agree,
     # so the reported repeats are all steady-state.
-    n_iter = 5
+    # 20 chained epochs (640 steps) per timing sample: at batch 64 each step
+    # is ~0.7 ms, so a 5-epoch window (~110 ms) sat at the tunnel's dispatch-
+    # jitter scale and the repeats spread 48% (r5 interim run); 640 steps
+    # (~0.45 s) amortizes the jitter below the 20% spread budget.
+    n_iter = 20
     fold = {"i": 0}
 
     def run_once():
@@ -431,7 +438,12 @@ def bench_train():
             p, s, o, losses, conf = train_lib.train_epoch(
                 p, s, o, op, contacts, batch_idx,
                 jax.random.fold_in(key, fold["i"]), cfg=cfg, tx=tx)
-        jax.block_until_ready(losses)
+        # host fetch, NOT block_until_ready: on the axon tunnel,
+        # block_until_ready on one output of a multi-output executable can
+        # return before the execution lands (measured in
+        # benchmarks/train_decomposition.py: 2 ms "epoch" whose parts sum to
+        # 77 ms); fetching an output's bytes is the reliable sync.
+        np.asarray(losses)
 
     secs, warm_calls, warm_s = _steady_time(run_once, n_rep=5, warm_cap=10)
     rates = [n_iter * n_batches / s for s in secs]
@@ -447,7 +459,12 @@ def bench_train():
           mfu=_mfu_from_flops(ours * B * 3 * MLP_FLOPS_PER_WINDOW),
           repeats=[round(r, 1) for r in rates],
           spread_pct=_spread_pct(secs), warmup_calls=warm_calls,
-          warmup_s=round(warm_s, 1))
+          warmup_s=round(warm_s, 1),
+          # the lockstep batch-64 shape is dispatch-bound by construction
+          # (a 0.2 ms step cannot feed the MXU); residual spread above the
+          # 20% budget is tunnel-latency jitter on those sub-ms steps, not
+          # compute variance — the MXU-shaped headline is train_epoch below
+          spread_note="dispatch-bound lockstep shape; tunnel jitter")
 
 
 def bench_train_epoch():
@@ -499,7 +516,7 @@ def bench_train_epoch():
         p, s, o, losses, conf = train_lib.train_epoch(
             params, state, opt_state, op, contacts, batch_idx,
             jax.random.fold_in(key, fold["i"]), cfg=cfg, tx=tx)
-        jax.block_until_ready(losses)
+        np.asarray(losses)  # host fetch = reliable sync (see bench_train)
 
     secs, warm_calls, _ = _steady_time(run_once, n_rep=3, warm_cap=6)
     ours = EPOCHS * N_SEQ / float(np.median(secs))
@@ -657,7 +674,11 @@ def bench_physics():
         # "physics dispatch anatomy")
         rf, rd, res, stats, ok = batch_lib.solve_physics_full_batch(
             batched, weights, cfg, spec_b=spec_b)
-        jax.block_until_ready(res.base_lin)
+        # host fetch = reliable sync on the axon tunnel (see bench_train);
+        # validated: swapping block_until_ready for this fetch left the
+        # physics number unchanged (the budget-linear ladder already showed
+        # the old sync was honest here)
+        np.asarray(res.base_lin)
         return res, stats, ok
 
     holder = {}

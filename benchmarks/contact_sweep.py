@@ -158,7 +158,7 @@ def main():
     # later slot reports 30-70 ms). Burn a throwaway config so every timed
     # config runs in the warm regime and cross-config numbers compare.
     warm_fn = jax.jit(functools.partial(
-        infer._infer_batch, window_size=W, pred_size=P,
+        infer._infer_batch_chunked, window_size=W, pred_size=P,
         joint_subset=tuple(SUBSET), use_confidence=True, conf_thresh=0.2,
         normalization=infer.TRAIN_NORMALIZATION, classify_thresh=0.5,
     ))
@@ -188,8 +188,12 @@ def main():
         prec = None if precision in ("default", "bf16", "conv_bf16") else (
             "high" if use_pallas or precision == "conv" else precision)
         mlp_dtype = jnp.bfloat16 if precision.endswith("bf16") else None
+        # _infer_batch_chunked: flat video batches >=1024 hit a measured
+        # deterministic runtime corruption on v5e (BASELINE.md
+        # "batch-invariance tripwire"); lax.map over <=512-video chunks is
+        # exact and keeps the one-dispatch amortization
         fn = jax.jit(functools.partial(
-            infer._infer_batch,
+            infer._infer_batch_chunked,
             window_size=W, pred_size=P,
             joint_subset=tuple(SUBSET), use_confidence=True,
             conf_thresh=0.2, normalization=infer.TRAIN_NORMALIZATION,
@@ -197,16 +201,17 @@ def main():
             mlp_dtype=mlp_dtype, use_conv=use_conv,
         ))
         c2, _ = fn(jnp.asarray(kp_check), folded)
-        # the binary-decision tripwire runs once per precision on the fixed
-        # 2-video check set — emitted as its own line (it is NOT a
-        # per-batch-size verification)
         agree = float((np.asarray(c2) == want).mean())
         print(json.dumps({
             "precision": precision, "binary_agreement": agree,
             "check_videos": int(kp_check.shape[0]),
         }), flush=True)
         for V in batches:
-            kp = jnp.asarray(synth(V))
+            # the check videos ride as rows 0-1 of every TIMED batch so the
+            # agreement gate runs inside the big executable — the small-
+            # batch-only gate missed the >=1024 flat-batch corruption
+            kp = jnp.asarray(
+                np.concatenate([kp_check, synth(V - 2)], axis=0))
             c, p = fn(kp, folded)  # compile
             jax.block_until_ready(c)
             n_iter = 3
@@ -222,6 +227,10 @@ def main():
                 "ms_per_call": round(dt * 1e3, 2),
                 "frames_per_sec": round(fps),
                 "mfu_pct": round(100 * fps * wpf * MLP_FLOPS / 197e12, 2),
+                # in-executable gate: check-video decisions from the TIMED
+                # graph itself must match the f64 oracle
+                "in_batch_agreement": float(
+                    (np.asarray(c[:2]) == want).mean()),
             }), flush=True)
 
 

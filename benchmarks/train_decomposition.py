@@ -54,15 +54,26 @@ def main():
         np.stack([rng.permutation(N_SEQ) for _ in range(STEPS)]), jnp.int32)
     key = jax.random.PRNGKey(1)
 
-    def timeit(fn, *a, n=3):
-        out = fn(*a)
-        jax.block_until_ready(out)
+    # Each call gets a DIFFERENT key (fold_in a counter): the tunneled axon
+    # device short-circuits repeat executions with identical args, so timing
+    # the same (executable, args) pair reports ~0 after the first call.
+    fold = {"i": 0}
+
+    def timeit(fn, n=3):
+        def call():
+            fold["i"] += 1
+            out = fn(jax.random.fold_in(key, fold["i"]))
+            # host fetch of one leaf = reliable sync; on axon,
+            # block_until_ready can return before the execution lands
+            # (measured: 2 ms "full epoch" whose parts sum to 77 ms)
+            np.asarray(jax.tree_util.tree_leaves(out)[-1])
+
+        call()
         # adaptive warm-up: two consecutive agreeing timings (tunnel regime)
         prev = None
         for _ in range(8):
             t0 = time.perf_counter()
-            out = fn(*a)
-            jax.block_until_ready(out)
+            call()
             dt = time.perf_counter() - t0
             if prev is not None and abs(dt - prev) < 0.15 * min(dt, prev):
                 break
@@ -70,17 +81,20 @@ def main():
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            out = fn(*a)
-            jax.block_until_ready(out)
+            call()
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    # full epoch-scan step (the bench shape: STEPS steps in one scan)
+    # full epoch-scan step (the bench shape: STEPS steps in one scan).
+    # Return the WHOLE output tuple: on axon, block_until_ready on a single
+    # element of a multi-output executable can return before the execution
+    # finishes (measured: blocking on losses alone reported 0.9 ms for an
+    # epoch whose parts sum to 77 ms; blocking on the full tuple, 45-75 ms).
     def full(k):
         return train_lib.train_epoch(params, state, opt_state, op, contacts,
-                                     batch_idx, k, cfg=cfg, tx=tx)[3]
+                                     batch_idx, k, cfg=cfg, tx=tx)
 
-    t_full = timeit(full, key)
+    t_full = timeit(full)
 
     # featurize only, STEPS times in one scan (same shape as the step body)
     @jax.jit
@@ -98,7 +112,7 @@ def main():
         _, (s1, s2) = jax.lax.scan(body, (), (batch_idx, keys))
         return s1 + s2
 
-    t_feat = timeit(feat_scan, key)
+    t_feat = timeit(feat_scan)
 
     # fwd/bwd + Adam on PREBUILT features, STEPS times in one scan
     feats, labels = data_lib.sample_train_windows(
@@ -123,13 +137,25 @@ def main():
             body, (params, state, opt_state), keys)
         return losses
 
-    t_fb = timeit(fwdbwd_scan, key)
+    t_fb = timeit(fwdbwd_scan)
+
+    # Same fwd/bwd with single-pass bf16 matmuls (the sweep-winning MLP
+    # knob): if the step were matmul-bound this would approach 2-3x; the
+    # FLOP model says matmuls are ~3% of the fwd/bwd wall at this shape.
+    @jax.jit
+    def fwdbwd_bf16_scan(k):
+        # context active during tracing = all dots lowered single-pass bf16
+        with jax.default_matmul_precision("bfloat16"):
+            return fwdbwd_scan.__wrapped__(k)
+
+    t_fb16 = timeit(fwdbwd_bf16_scan)
 
     print(json.dumps({
         "n_seq": N_SEQ, "steps_per_scan": STEPS,
         "full_ms_per_step": round(t_full / STEPS * 1e3, 3),
         "featurize_ms_per_step": round(t_feat / STEPS * 1e3, 3),
         "fwdbwd_ms_per_step": round(t_fb / STEPS * 1e3, 3),
+        "fwdbwd_bf16_ms_per_step": round(t_fb16 / STEPS * 1e3, 3),
         "residual_ms_per_step": round((t_full - t_feat - t_fb) / STEPS * 1e3, 3),
         "fwdbwd_share_pct": round(100 * t_fb / t_full, 1),
     }), flush=True)

@@ -129,6 +129,35 @@ def _infer_one(op_data, folded, **kw):
     return contacts[0], probs[0]
 
 
+def _infer_batch_chunked(op_batch, folded, *, max_device_batch: int = 512,
+                         **kw):
+    """Large batches as ONE dispatch of lax.map over ≤max_device_batch chunks.
+
+    Why: on the benched v5e runtime, identical per-video inputs produce
+    deterministically CORRUPTED outputs once on-device intermediates grow
+    past a shape threshold — measured exact at V≤768 (max|d| 5e-6 vs a
+    V=4 run), wrong by up to 0.42 in probability at V≥1024, with the
+    gap-fill stage itself corrupting at V=4096 (814 wrong elements; see
+    BASELINE.md "batch-invariance tripwire"). Chunking the video axis is
+    mathematically exact (all per-video computation is independent), keeps
+    the single-dispatch amortization of a big batch, and pins every
+    intermediate to the verified-safe shape range. Padding videos are
+    all-zero (gap-fill leaves fully-invalid tracks untouched) and dropped
+    after the map.
+    """
+    V = op_batch.shape[0]
+    if V <= max_device_batch:
+        return _infer_batch(op_batch, folded, **kw)
+    n = -(-V // max_device_batch)
+    pad = n * max_device_batch - V
+    xp = jnp.pad(op_batch, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    xp = xp.reshape((n, max_device_batch) + op_batch.shape[1:])
+    contacts, probs = jax.lax.map(lambda c: _infer_batch(c, folded, **kw), xp)
+    contacts = contacts.reshape((n * max_device_batch,) + contacts.shape[2:])
+    probs = probs.reshape((n * max_device_batch,) + probs.shape[2:])
+    return contacts[:V], probs[:V]
+
+
 class ContactDetector:
     """Holds converted model weights and compiled inference functions."""
 
@@ -148,15 +177,19 @@ class ContactDetector:
         use_conv: bool = True,
         mlp_dtype=None,
         precision: Optional[str] = "high",
+        max_device_batch: int = 512,
     ):
         # Defaults = the measured winner of benchmarks/contact_sweep.py on
         # v5e-1 (round 5, quiet-host run; full table in BASELINE.md): the
         # conv-fused path at precision="high" is the fastest config with
-        # EXACT binary agreement (1.0) vs the f64 torch oracle — 9.58M
-        # frames/s at batch 4096 (8.97% MFU) vs 8.59M for the plain windowed
-        # path and 8.0M for pallas (0.99844 agreement). conv_bf16 reaches
-        # 13.2M but flips 0.37% of labels on the synthetic check set, so
-        # bf16 storage stays opt-in via mlp_dtype=jnp.bfloat16.
+        # EXACT binary agreement (1.0) vs the f64 torch oracle. conv_bf16
+        # is faster still but flips 0.37% of labels on the synthetic check
+        # set, so bf16 storage stays opt-in via mlp_dtype=jnp.bfloat16.
+        # max_device_batch chunks the video axis inside the jitted graph
+        # (lax.map): videos beyond ~768 per flat batch hit a measured
+        # runtime corruption on v5e (see _infer_batch_chunked); 512 keeps a
+        # safety margin while one dispatch still serves arbitrarily large
+        # batches.
         if window_size % 2 == 0:  # must be odd (real_video_dataset.py:47-50)
             window_size += 1
         self.window_size = window_size
@@ -194,8 +227,11 @@ class ContactDetector:
         # batched path: featurization/voting vmap over videos, but ALL
         # windows of all videos flow through the MLP as one flat batch —
         # one big MXU matmul instead of V small ones (and pallas_call
-        # receives a plain 2D problem instead of a vmapped grid)
-        self._batched = jax.jit(functools.partial(_infer_batch, **kw))
+        # receives a plain 2D problem instead of a vmapped grid); chunked
+        # over the video axis past max_device_batch (see
+        # _infer_batch_chunked)
+        self._batched = jax.jit(functools.partial(
+            _infer_batch_chunked, max_device_batch=max_device_batch, **kw))
 
     def detect(self, op_data: np.ndarray, seq_len: Optional[int] = None) -> np.ndarray:
         """Single video (F, 25, 3) → (seq_len, 4) int contacts."""

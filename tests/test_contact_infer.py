@@ -136,3 +136,33 @@ def test_detect_contacts_end_to_end(tmp_path):
         np.testing.assert_array_equal(np.where(m, got, 0), np.where(m, expected[:F], 0))
         saved = np.load(os.path.join(d, "foot_contacts.npy"))
         np.testing.assert_array_equal(saved, got)
+
+
+def test_chunked_batch_matches_flat():
+    """max_device_batch chunking (lax.map over the video axis) is exactly
+    equal to the flat batch — the chunked path exists because flat batches
+    past ~768 videos produced deterministically corrupted results on the
+    benched v5e runtime (BASELINE.md "batch-invariance tripwire"), so its
+    exactness is load-bearing for the default inference config."""
+    import jax.numpy as jnp
+
+    from chd_tpu.models import contact_mlp
+
+    rng = np.random.default_rng(3)
+    V, F = 21, 40
+    kp = np.zeros((V, F, 25, 3), np.float32)
+    kp[..., 0] = rng.uniform(0.5, 6.0, size=(V, F, 25))
+    kp[..., 1] = rng.uniform(0.5, 4.0, size=(V, F, 25))
+    kp[..., 2] = rng.uniform(0.0, 1.0, size=(V, F, 25))
+
+    cfg = contact_mlp.ModelConfig()
+    import jax
+
+    params, state = contact_mlp.init(jax.random.PRNGKey(0), cfg)
+    det_chunk = infer.ContactDetector(params, state, max_device_batch=8)
+    det_flat = infer.ContactDetector(params, state, max_device_batch=64)
+    x = jnp.asarray(kp)
+    c1, p1 = det_chunk._batched(x, det_chunk.folded)
+    c2, p2 = det_flat._batched(x, det_flat.folded)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
