@@ -48,14 +48,15 @@ import numpy as np
 
 W, P = 9, 5
 FRAMES = 240
-# videos per HOST batch for the JAX contact path: 4096 amortizes dispatch
-# best (3.9M/4.5M/11.7M fps at 512/768/4096, round-5 chunked re-measurement).
+# videos per HOST batch for the JAX contact path: throughput keeps rising
+# with host batch under the chunked dispatch (3.9M/4.5M/11.6M/13.6M fps at
+# 512/768/4096/8192 in the round-5 probe harness; +17% for 8192 over 4096).
 # On device the detector lax.map's over <=512-video chunks
-# (ContactDetector.max_device_batch): flat batches >=1024 hit a measured
-# deterministic runtime corruption on v5e (BASELINE.md "batch-invariance
-# tripwire") — the in-executable jax-vs-torch tripwire below is the guard
-# that caught it.
-OUR_BATCH = int(os.environ.get("CHD_CONTACT_BATCH", "4096"))
+# (ContactDetector.max_device_batch; 768-chunks measured SLOWER, 10.7M):
+# flat batches >=1024 hit a measured deterministic runtime corruption on
+# v5e (BASELINE.md "batch-invariance tripwire") — the in-executable
+# jax-vs-torch tripwire below is the guard that caught it.
+OUR_BATCH = int(os.environ.get("CHD_CONTACT_BATCH", "8192"))
 REF_VIDEOS = 2    # videos for the (slow) reference-style contact baseline
 SUBSET = list(range(8, 15)) + list(range(19, 25))  # 'lower'
 
